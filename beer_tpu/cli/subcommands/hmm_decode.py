@@ -1,0 +1,52 @@
+"""Viterbi-decode unit transcriptions (reference: ``beer hmm decode``)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+
+def setup(parser):
+    parser.add_argument("model", help="trained model (.mdl)")
+    parser.add_argument("feats", help="feature archive (.npz)")
+    parser.add_argument("out", help="output transcription file")
+    parser.add_argument(
+        "--per-frame", action="store_true",
+        help="emit per-frame unit labels instead of collapsed transcriptions",
+    )
+
+
+def collapse(units):
+    """Per-frame unit labels → unit transcription (collapse repeats)."""
+    out = []
+    for u in units:
+        if not out or out[-1] != u:
+            out.append(int(u))
+    return out
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from beer_tpu.cli.subcommands.hmm_train import pad_archive
+    from beer_tpu.utils import load_model
+
+    model = load_model(args.model)
+    archive = np.load(args.feats)
+    keys, data, mask = pad_archive(archive)
+
+    decode = jax.jit(model.decode_units)
+    units, scores = decode(jnp.asarray(data), jnp.asarray(mask))
+    units = np.asarray(units)
+
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    with open(args.out, "w") as fh:
+        for i, k in enumerate(keys):
+            ln = int(mask[i].sum())
+            labels = units[i, :ln]
+            if not args.per_frame:
+                labels = collapse(labels)
+            fh.write(f"{k} {' '.join(f'au{u}' for u in labels)}\n")
+    print(f"decoded {len(keys)} utterances to {args.out}")

@@ -1,0 +1,51 @@
+"""Build an initial phone-loop AUD model (reference: ``beer hmm mkphoneloop``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def setup(parser):
+    parser.add_argument("conf", help="hmm YAML config")
+    parser.add_argument("feats", help="feature archive (.npz)")
+    parser.add_argument("out", help="output model (.mdl)")
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.utils import load_yaml, save_model
+
+    conf = load_yaml(args.conf)
+    n_units = int(conf.get("n_units", 50))
+    states_per_unit = int(conf.get("states_per_unit", 3))
+    cov_type = conf.get("cov_type", "diagonal")
+    concentration = float(conf.get("concentration", 1.0))
+    prior_strength = float(conf.get("prior_strength", 1.0))
+    noise_std = float(conf.get("noise_std", 1.0))
+    seed = int(conf.get("seed", 1))
+
+    archive = np.load(args.feats)
+    flat = np.concatenate([archive[k] for k in archive.files])
+    mean = jnp.asarray(flat.mean(0))
+    if cov_type == "full":
+        cov = jnp.asarray(np.cov(flat.T))
+    else:
+        cov = jnp.asarray(np.diag(flat.var(0)))
+
+    nset = beer_tpu.NormalSet.create(
+        mean, cov, size=n_units * states_per_unit,
+        prior_strength=prior_strength, noise_std=noise_std, cov_type=cov_type,
+        key=jax.random.PRNGKey(seed),
+    )
+    loop = PhoneLoop.create(
+        n_units, states_per_unit, nset, concentration=concentration
+    )
+    save_model(loop, args.out)
+    print(
+        f"wrote phone loop ({n_units} units x {states_per_unit} states, "
+        f"{cov_type} cov, dim {flat.shape[-1]}) to {args.out}"
+    )

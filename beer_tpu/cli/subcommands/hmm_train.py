@@ -1,0 +1,84 @@
+"""Train a model with VB-EM (reference: ``beer hmm train``).
+
+Stage-gated like the reference recipes: checkpoints ``epochN.mdl`` per
+epoch in the output directory; rerunning resumes from the latest.
+Utterances are padded into one batch (bucketing by length would be the
+next refinement) and the whole epoch runs as one jitted data-parallel
+step when more than one device is available.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+import numpy as np
+
+
+def setup(parser):
+    parser.add_argument("model", help="input model (.mdl)")
+    parser.add_argument("feats", help="feature archive (.npz)")
+    parser.add_argument("outdir", help="output/checkpoint directory")
+    parser.add_argument("--epochs", type=int, default=30)
+    parser.add_argument("--lrate", type=float, default=1.0)
+    parser.add_argument("--single-device", action="store_true")
+
+
+def pad_archive(archive):
+    keys = list(archive.files)
+    lengths = [archive[k].shape[0] for k in keys]
+    t_max = max(lengths)
+    d = archive[keys[0]].shape[-1]
+    data = np.zeros((len(keys), t_max, d), np.float32)
+    mask = np.zeros((len(keys), t_max), np.float32)
+    for i, k in enumerate(keys):
+        feats = archive[k]
+        data[i, : len(feats)] = feats
+        mask[i, : len(feats)] = 1
+    return keys, data, mask
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from beer_tpu import parallel
+    from beer_tpu.utils import latest_checkpoint, load_model, save_model
+    from beer_tpu.vbi import vb_step
+
+    outdir = Path(args.outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+
+    ckpt = latest_checkpoint(outdir)
+    start_epoch = 0
+    if ckpt is not None:
+        model = load_model(ckpt)
+        start_epoch = int(re.search(r"epoch(\d+)", ckpt.name).group(1))
+        print(f"resuming from {ckpt} (epoch {start_epoch})")
+    else:
+        model = load_model(args.model)
+
+    archive = np.load(args.feats)
+    keys, data, mask = pad_archive(archive)
+
+    n_dev = len(jax.devices())
+    if n_dev > 1 and not args.single_device:
+        mesh = parallel.make_mesh()
+        data, valid = parallel.shard_batch(data, n_dev)
+        mask, _ = parallel.shard_batch(mask, n_dev)
+        mask = mask * valid[:, None]
+        step = parallel.make_vb_train_step(mesh, lrate=args.lrate)
+        print(f"data-parallel over {n_dev} devices")
+    else:
+        step = jax.jit(
+            lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)
+        )
+
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    n_frames = float(mask.sum())
+    for epoch in range(start_epoch + 1, args.epochs + 1):
+        elbo, model = step(model, x, m)
+        print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
+        save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+    save_model(model, outdir / "final.mdl")
+    print(f"wrote {outdir / 'final.mdl'}")

@@ -1,0 +1,35 @@
+"""Models (reference: ``beer/models/``)."""
+
+from beer_tpu.models.basemodel import DiscreteLatentModel, Model
+from beer_tpu.models.categorical import Categorical, SBCategorical
+from beer_tpu.models.graph import (
+    CompiledGraph,
+    Graph,
+    left_to_right,
+    phone_loop_graph,
+)
+from beer_tpu.models.hmm import HMM
+from beer_tpu.models.mixture import Mixture, MixtureSet
+from beer_tpu.models.modelset import ModelSet
+from beer_tpu.models.normal import Normal, NormalSet
+from beer_tpu.models.parameters import BayesianParameter
+from beer_tpu.models.phoneloop import PhoneLoop
+
+__all__ = [
+    "Model",
+    "DiscreteLatentModel",
+    "ModelSet",
+    "BayesianParameter",
+    "Normal",
+    "NormalSet",
+    "Mixture",
+    "MixtureSet",
+    "Categorical",
+    "SBCategorical",
+    "Graph",
+    "CompiledGraph",
+    "left_to_right",
+    "phone_loop_graph",
+    "HMM",
+    "PhoneLoop",
+]

@@ -1,0 +1,166 @@
+"""HMM state graphs.
+
+Reference parity: ``beer/models/graph.py`` (Graph, CompiledGraph):
+an FST-like builder — states, weighted arcs, start/end states —
+that ``normalize()``s arc weights into per-state transition
+distributions and ``compile()``s to dense log-matrices consumed by the
+scan-based recursions, plus the standard constructors the recipes use
+(left-to-right unit HMMs, phone-loop composition).
+
+The builder is plain Python (runs at trace time, shapes are static);
+only :class:`CompiledGraph` is a pytree that enters jit.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+LOG_ZERO = -1e30
+
+
+@struct.dataclass
+class CompiledGraph:
+    """Dense representation: what the scans consume.
+
+    ``pdf_ids`` maps each state to its emission pdf index (< n_pdfs);
+    several states may share one pdf (tied emissions).
+    """
+
+    log_init: jnp.ndarray    # (S,)
+    log_final: jnp.ndarray   # (S,)
+    log_trans: jnp.ndarray   # (S, S)
+    pdf_ids: jnp.ndarray     # (S,) int32
+    n_states: int = struct.field(pytree_node=False, default=0)
+    n_pdfs: int = struct.field(pytree_node=False, default=0)
+
+    def expand_llh(self, per_pdf_llh: jnp.ndarray) -> jnp.ndarray:
+        """(..., n_pdfs) per-pdf log-likelihoods → (..., S) per-state."""
+        return per_pdf_llh[..., self.pdf_ids]
+
+
+class Graph:
+    """Mutable HMM-graph builder (host-side, pre-jit)."""
+
+    def __init__(self):
+        self._pdf_of_state: List[int] = []
+        self._arcs: Dict[Tuple[int, int], float] = {}
+        self._init: Dict[int, float] = {}
+        self._final: Dict[int, float] = {}
+
+    # -- construction ---------------------------------------------------
+    def add_state(self, pdf_id: int) -> int:
+        self._pdf_of_state.append(int(pdf_id))
+        return len(self._pdf_of_state) - 1
+
+    def add_arc(self, src: int, dst: int, weight: float = 1.0) -> None:
+        self._arcs[(src, dst)] = self._arcs.get((src, dst), 0.0) + float(weight)
+
+    def set_init(self, state: int, weight: float = 1.0) -> None:
+        self._init[state] = float(weight)
+
+    def set_final(self, state: int, weight: float = 1.0) -> None:
+        self._final[state] = float(weight)
+
+    @property
+    def n_states(self) -> int:
+        return len(self._pdf_of_state)
+
+    # -- normalization + compilation -------------------------------------
+    def normalize(self) -> None:
+        """Scale outgoing arc weights (incl. final) to sum to 1 per state,
+        and initial weights to sum to 1."""
+        out_sums = [0.0] * self.n_states
+        for (s, _), w in self._arcs.items():
+            out_sums[s] += w
+        for s, w in self._final.items():
+            out_sums[s] += w
+        for (s, d) in list(self._arcs):
+            if out_sums[s] > 0:
+                self._arcs[(s, d)] /= out_sums[s]
+        for s in list(self._final):
+            if out_sums[s] > 0:
+                self._final[s] /= out_sums[s]
+        z = sum(self._init.values())
+        if z > 0:
+            for s in list(self._init):
+                self._init[s] /= z
+
+    def compile(self, dtype=jnp.float32) -> CompiledGraph:
+        n = self.n_states
+        trans = np.full((n, n), LOG_ZERO, dtype=np.float64)
+        init = np.full(n, LOG_ZERO, dtype=np.float64)
+        final = np.full(n, LOG_ZERO, dtype=np.float64)
+        for (s, d), w in self._arcs.items():
+            if w > 0:
+                trans[s, d] = math.log(w)
+        for s, w in self._init.items():
+            if w > 0:
+                init[s] = math.log(w)
+        for s, w in self._final.items():
+            if w > 0:
+                final[s] = math.log(w)
+        pdf_ids = np.asarray(self._pdf_of_state, dtype=np.int32)
+        n_pdfs = int(pdf_ids.max()) + 1 if n else 0
+        return CompiledGraph(
+            log_init=jnp.asarray(init, dtype),
+            log_final=jnp.asarray(final, dtype),
+            log_trans=jnp.asarray(trans, dtype),
+            pdf_ids=jnp.asarray(pdf_ids),
+            n_states=n,
+            n_pdfs=n_pdfs,
+        )
+
+
+# ----------------------------------------------------------------------
+# Standard constructors (reference CLI: ``beer hmm mkphones/mkphoneloop``)
+# ----------------------------------------------------------------------
+def left_to_right(n_states: int, first_pdf: int = 0, self_loop: float = 0.5) -> Graph:
+    """A left-to-right unit HMM: self-loop + advance per state."""
+    g = Graph()
+    states = [g.add_state(first_pdf + i) for i in range(n_states)]
+    for i, s in enumerate(states):
+        g.add_arc(s, s, self_loop)
+        if i + 1 < n_states:
+            g.add_arc(s, states[i + 1], 1.0 - self_loop)
+    g.set_init(states[0])
+    g.set_final(states[-1], 1.0 - self_loop)
+    g.normalize()
+    return g
+
+
+def phone_loop_graph(
+    n_units: int, states_per_unit: int, self_loop: float = 0.5
+) -> Graph:
+    """N left-to-right unit HMMs in a loop.
+
+    Unit u owns pdfs [u·P, (u+1)·P) and states likewise.  Every unit's
+    last state connects to every unit's first state; the *weights* of
+    those loop-back arcs are uniform here — the Bayesian prior over unit
+    transitions (Dirichlet / SBCategorical) is applied on top by
+    :class:`beer_tpu.models.phoneloop.PhoneLoop` at E-step time, keeping
+    the graph fixed while the unit LM stays conjugate (reference:
+    ``beer/models/phoneloop.py``).
+    """
+    g = Graph()
+    starts, ends = [], []
+    for u in range(n_units):
+        states = [g.add_state(u * states_per_unit + i) for i in range(states_per_unit)]
+        for i, s in enumerate(states):
+            g.add_arc(s, s, self_loop)
+            if i + 1 < states_per_unit:
+                g.add_arc(s, states[i + 1], 1.0 - self_loop)
+        starts.append(states[0])
+        ends.append(states[-1])
+        g.set_init(states[0], 1.0 / n_units)
+        g.set_final(states[-1], (1.0 - self_loop) * 0.5)
+    exit_mass = (1.0 - self_loop) * 0.5 / n_units
+    for e in ends:
+        for s in starts:
+            g.add_arc(e, s, exit_mass)
+    g.normalize()
+    return g

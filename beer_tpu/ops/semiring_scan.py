@@ -1,0 +1,234 @@
+"""HMM recursions as batched scans in the log semiring.
+
+Reference parity: ``beer/models/hmm.py`` forward/backward/viterbi — but
+where the reference runs a Python ``for t in range(T)`` loop of
+``logsumexp`` steps per utterance (its single biggest performance sin,
+SURVEY.md §3.2), these are whole-batch XLA programs:
+
+* :func:`forward_backward` — sequential ``lax.scan`` over time whose step
+  is an **exp-shift matmul**: α_t = llh_t + m + log(exp(α_{t−1} − m) @ A).
+  The (B, S) @ (S, S) product rides the MXU; the max-shift ``m`` makes it
+  exactly equal to the log-domain recursion (the classic scaling trick),
+  and the whole batch advances in lock-step.
+* :func:`forward_assoc` — ``lax.associative_scan`` over log-transition
+  operators (O(log T) depth, per "Temporal Parallelization of Inference
+  in HMMs", arXiv:2102.05743) for few-long-sequences workloads.
+* :func:`viterbi` — (max, +) scan with backpointers and a reverse-scan
+  backtrace, fully jittable.
+
+Ragged batches use pad-and-mask: masked steps are identity (carry passes
+through), so the final carry equals the value at each sequence's true
+length — no gather needed.
+
+Conventions: ``llh`` (B, T, S) frame log-likelihoods; ``log_trans``
+(S, S) with [i, j] = log p(j | i); ``log_init`` / ``log_final`` (S,);
+``mask`` (B, T) 1.0 for real frames.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30  # avoids (-inf) - (-inf) = nan in masked/unreachable states
+
+
+class FBResult(NamedTuple):
+    log_alpha: jnp.ndarray   # (B, T, S)
+    log_beta: jnp.ndarray    # (B, T, S)
+    log_z: jnp.ndarray       # (B,)
+    posteriors: jnp.ndarray  # (B, T, S), zero on padded frames
+
+
+def _clamp(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(x, _NEG_INF)
+
+
+def forward(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched forward recursion.
+
+    Returns (log_alpha (B, T, S), final carry (B, S)).
+    """
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    trans = jnp.exp(log_trans)  # probabilities in [0, 1] — safe to exp
+    alpha0 = _clamp(log_init + llh[:, 0]) * mask[:, 0:1] + (1 - mask[:, 0:1]) * 0.0
+
+    def step(carry, inp):
+        llh_t, m_t = inp  # (B, S), (B, 1)
+        shift = jnp.max(carry, axis=-1, keepdims=True)
+        prop = jnp.log(
+            jnp.maximum(jnp.matmul(jnp.exp(carry - shift), trans, precision=jax.lax.Precision.HIGHEST), jnp.finfo(llh.dtype).tiny)
+        )
+        new = _clamp(llh_t + shift + prop)
+        carry = m_t * new + (1 - m_t) * carry
+        return carry, carry
+
+    carry, alphas = jax.lax.scan(
+        step,
+        alpha0,
+        (jnp.swapaxes(llh[:, 1:], 0, 1), jnp.swapaxes(mask[:, 1:, None], 0, 1)),
+    )
+    log_alpha = jnp.concatenate(
+        [alpha0[:, None], jnp.swapaxes(alphas, 0, 1)], axis=1
+    )
+    return log_alpha, carry
+
+
+def backward(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Batched backward recursion; returns log_beta (B, T, S).
+
+    With masking, padded positions (t beyond a sequence's length) carry
+    the *final-state* vector backwards unchanged, so β at the last real
+    frame equals log_final exactly as in the unpadded recursion.
+    """
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    trans_t = jnp.exp(log_trans).T
+    beta_last = jnp.broadcast_to(_clamp(log_final), (b, s)).astype(llh.dtype)
+
+    def step(carry, inp):
+        llh_t1, m_t1 = inp  # llh at t+1, mask at t+1
+        v = _clamp(llh_t1 + carry)
+        shift = jnp.max(v, axis=-1, keepdims=True)
+        prop = jnp.log(
+            jnp.maximum(jnp.matmul(jnp.exp(v - shift), trans_t, precision=jax.lax.Precision.HIGHEST), jnp.finfo(llh.dtype).tiny)
+        )
+        new = _clamp(shift + prop)
+        carry = m_t1 * new + (1 - m_t1) * carry
+        return carry, carry
+
+    _, betas = jax.lax.scan(
+        step,
+        beta_last,
+        (jnp.swapaxes(llh[:, 1:], 0, 1), jnp.swapaxes(mask[:, 1:, None], 0, 1)),
+        reverse=True,
+    )
+    return jnp.concatenate([jnp.swapaxes(betas, 0, 1), beta_last[:, None]], axis=1)
+
+
+def forward_backward(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> FBResult:
+    """Full smoothing pass: α, β, log Z, and per-frame state posteriors."""
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    log_alpha, alpha_last = forward(llh, log_trans, log_init, mask)
+    log_beta = backward(llh, log_trans, log_final, mask)
+    log_z = jax.scipy.special.logsumexp(alpha_last + log_final, axis=-1)
+    log_post = log_alpha + log_beta - log_z[:, None, None]
+    posteriors = jnp.exp(_clamp(log_post)) * mask[..., None]
+    return FBResult(log_alpha, log_beta, log_z, posteriors)
+
+
+# ----------------------------------------------------------------------
+# Associative-scan variant (O(log T) depth)
+# ----------------------------------------------------------------------
+def _semiring_matmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(logsumexp, +) matrix product of batched (..., S, S) log-matrices."""
+    a_shift = jnp.max(a, axis=-1, keepdims=True)  # rows of a
+    b_shift = jnp.max(b, axis=-2, keepdims=True)  # cols of b
+    prod = jnp.einsum(
+        "...ik,...kj->...ij", jnp.exp(a - a_shift), jnp.exp(b - b_shift),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return _clamp(a_shift + b_shift + jnp.log(jnp.maximum(prod, 1e-37)))
+
+
+def forward_assoc(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """log_alpha via ``lax.associative_scan`` over transition operators.
+
+    Materializes (B, T, S, S) operators — use for long sequences / small
+    state spaces (the CP analogue of SURVEY §5.7); the sequential scan is
+    the default elsewhere.
+    """
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    # Operator for step t>0: M_t[i, j] = log A[i, j] + llh[t, j]; padded
+    # steps use the identity operator (0 diag, -inf off-diag).
+    ops = log_trans[None, None] + llh[:, :, None, :]
+    eye = jnp.where(jnp.eye(s, dtype=bool), 0.0, _NEG_INF).astype(llh.dtype)
+    ops = jnp.where(mask[:, :, None, None] > 0, ops, eye[None, None])
+    # Fold the init into the t=0 operator: row i -> alpha_0 (same for all i).
+    alpha0 = _clamp(log_init + llh[:, 0])  # (B, S)
+    ops = ops.at[:, 0].set(jnp.broadcast_to(alpha0[:, None, :], (b, s, s)))
+    prefix = jax.lax.associative_scan(_semiring_matmul, ops, axis=1)
+    # alpha_t = prefix_t[i, :] for any i (t=0 row was constant in i).
+    log_alpha = prefix[:, :, 0, :]
+    last = (mask.sum(1) - 1).astype(jnp.int32)
+    alpha_last = jnp.take_along_axis(
+        log_alpha, last[:, None, None].repeat(s, -1), axis=1
+    )[:, 0]
+    return log_alpha, alpha_last
+
+
+# ----------------------------------------------------------------------
+# Viterbi
+# ----------------------------------------------------------------------
+def viterbi(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched best-path decoding.
+
+    Returns (paths (B, T) int32 — state ids, valid where mask=1 —, and
+    best-path log-probability (B,)).
+    """
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    score0 = _clamp(log_init + llh[:, 0])
+    ids = jnp.arange(s, dtype=jnp.int32)
+
+    def fwd_step(carry, inp):
+        llh_t, m_t = inp
+        cand = carry[:, :, None] + log_trans[None]  # (B, S_prev, S_next)
+        best_prev = jnp.argmax(cand, axis=1).astype(jnp.int32)  # (B, S)
+        new = _clamp(llh_t + jnp.max(cand, axis=1))
+        carry_new = m_t * new + (1 - m_t) * carry
+        bp = jnp.where(m_t > 0, best_prev, ids[None, :])  # identity on pads
+        return carry_new, bp
+
+    score_last, bps = jax.lax.scan(
+        fwd_step,
+        score0,
+        (jnp.swapaxes(llh[:, 1:], 0, 1), jnp.swapaxes(mask[:, 1:, None], 0, 1)),
+    )  # bps: (T-1, B, S)
+    best_last = jnp.argmax(score_last + log_final, axis=-1).astype(jnp.int32)
+    best_score = jnp.max(score_last + log_final, axis=-1)
+
+    def back_step(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[:, None], axis=1)[:, 0]
+        return prev, prev
+
+    _, path_rev = jax.lax.scan(back_step, best_last, bps, reverse=True)
+    paths = jnp.concatenate([path_rev, best_last[None]], axis=0)  # (T, B)
+    return jnp.swapaxes(paths, 0, 1), best_score

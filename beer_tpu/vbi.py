@@ -1,0 +1,159 @@
+"""Variational-Bayes objectives and optimizers.
+
+Reference parity: ``beer/optim.py`` / ``beer/vbi.py``
+(``evidence_lower_bound``, ``VBConjugateOptimizer``, ``VBOptimizer``).
+
+Functional core (jit these):
+
+* :func:`elbo_and_stats`  — one E-step: ELBO value + scaled accumulated
+  statistics pytree,
+* :func:`vb_step`         — E-step + conjugate M-step, returns
+  ``(elbo, new_model)``; the whole epoch compiles to one XLA program.
+
+OO veneer (reference-notebook compatibility): ``evidence_lower_bound``
+returns an :class:`ELBO` object with ``.backward()`` (which, unlike the
+reference, is where statistics are *already* stored — there are no
+autograd hooks to fire) and ``float(elbo)``; ``VBConjugateOptimizer``
+holds the current model and applies steps.  The hybrid
+:class:`VBOptimizer` composes the conjugate step with an optax optimizer
+for non-conjugate (neural-network) parameters, reproducing the
+reference's Adam+natural-gradient hybrid used by VAE/GSM (SURVEY §3.4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------
+# Functional core
+# ----------------------------------------------------------------------
+def elbo_and_stats(
+    model,
+    data: jnp.ndarray,
+    datasize: Optional[int] = None,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """One VB E-step.
+
+    Returns ``(elbo, acc)`` where ``acc`` is the statistics pytree (already
+    scaled by ``datasize / batch_size`` for minibatch training, matching
+    the reference's ``evidence_lower_bound(..., datasize=N)`` convention).
+    """
+    stats = model.sufficient_statistics(data)
+    if mask is None:
+        llh, cache = model.infer(stats)
+    else:
+        llh, cache = model.infer(stats, mask=mask)
+    nframes = llh.size
+    scale = 1.0 if datasize is None else datasize / nframes
+    elbo = scale * llh.sum() - model.kl_div_posterior_prior()
+    acc = model.accumulate(stats, cache)
+    if datasize is not None:
+        acc = jax.tree.map(lambda s: scale * s, acc)
+    return elbo, acc
+
+
+def vb_step(
+    model,
+    data: jnp.ndarray,
+    datasize: Optional[int] = None,
+    lrate: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """E-step + conjugate M-step; returns ``(elbo, updated_model)``."""
+    elbo, acc = elbo_and_stats(model, data, datasize, mask)
+    return elbo, model.vb_update(acc, lrate)
+
+
+# ----------------------------------------------------------------------
+# Reference-API veneer
+# ----------------------------------------------------------------------
+class ELBO:
+    """Value + statistics of one evidence-lower-bound evaluation."""
+
+    def __init__(self, value: jnp.ndarray, acc: Any):
+        self.value = value
+        self.acc = acc
+
+    def backward(self) -> "ELBO":
+        """No-op kept for reference-notebook compatibility.
+
+        The reference uses ``.backward()`` to fire autograd hooks that
+        harvest statistics; here they were computed explicitly during the
+        forward pass and already live in ``self.acc``.
+        """
+        return self
+
+    def __float__(self) -> float:
+        return float(self.value)
+
+    def __repr__(self) -> str:
+        return f"ELBO({float(self.value):.6f})"
+
+
+def evidence_lower_bound(
+    model, data, datasize: Optional[int] = None, mask: Optional[jnp.ndarray] = None
+) -> ELBO:
+    """Reference-compatible entry point (``beer.evidence_lower_bound``)."""
+    value, acc = elbo_and_stats(model, data, datasize, mask)
+    return ELBO(value, acc)
+
+
+class VBConjugateOptimizer:
+    """Natural-parameter coordinate-ascent "optimizer" (reference API).
+
+    Unlike the reference (which mutates shared parameter objects), the
+    current model is held here and replaced on every step::
+
+        optim = VBConjugateOptimizer(gmm, lrate=1.)
+        for epoch in range(E):
+            optim.init_step()
+            elbo = beer_tpu.evidence_lower_bound(optim.model, X, datasize=N)
+            elbo.backward()
+            optim.step(elbo)
+    """
+
+    def __init__(self, model, lrate: float = 1.0):
+        self.model = model
+        self.lrate = lrate
+
+    def init_step(self) -> None:
+        """Kept for API parity; statistics are per-ELBO, nothing to zero."""
+
+    def step(self, elbo: ELBO):
+        self.model = self.model.vb_update(elbo.acc, self.lrate)
+        return self.model
+
+
+class VBOptimizer:
+    """Hybrid optimizer: conjugate natural step + optax for nnet params.
+
+    Used by VAE/GSM training where the model splits into conjugate
+    Bayesian parameters (closed-form update) and unconstrained neural
+    parameters (gradient update on the same ELBO) — the reference's
+    ``VBOptimizer`` combining ``VBConjugateOptimizer`` with torch Adam.
+    """
+
+    def __init__(self, model, optax_optimizer, nnet_params, lrate: float = 1.0):
+        import optax  # local import: optax only needed for hybrid models
+
+        del optax
+        self.model = model
+        self.lrate = lrate
+        self.tx = optax_optimizer
+        self.nnet_params = nnet_params
+        self.opt_state = optax_optimizer.init(nnet_params)
+
+    def step(self, elbo_acc, nnet_grads):
+        updates, self.opt_state = self.tx.update(
+            nnet_grads, self.opt_state, self.nnet_params
+        )
+        import optax
+
+        self.nnet_params = optax.apply_updates(self.nnet_params, updates)
+        self.model = self.model.vb_update(elbo_acc, self.lrate)
+        return self.model, self.nnet_params

@@ -1,0 +1,85 @@
+"""End-to-end CLI smoke test: the full AUD recipe flow on synthetic audio.
+
+dataset create → features extract → hmm mkphoneloop → hmm train (with
+resume) → hmm decode, exactly the reference recipe pipeline (SURVEY §3.3)
+driven through ``python -m beer_tpu.cli``'s entry point.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from beer_tpu.cli.main import main as cli
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    root = tmp_path_factory.mktemp("aud")
+    wav_dir = root / "audio"
+    wav_dir.mkdir()
+    # synthetic "speech": random tone segments at 16 kHz, ~0.5 s each
+    scp_lines = []
+    for i in range(4):
+        sig = np.concatenate(
+            [
+                np.sin(
+                    2 * np.pi * float(rng.uniform(80, 400))
+                    * np.arange(4000) / 16000.0
+                )
+                for _ in range(3)
+            ]
+        ).astype(np.float32)
+        path = wav_dir / f"utt{i}.npy"
+        np.save(path, sig)
+        scp_lines.append(f"utt{i} {path}")
+    (root / "wav.scp").write_text("\n".join(scp_lines))
+    (root / "features.yml").write_text(
+        "feature_type: fbank\nn_filters: 10\ndeltas: false\nsrate: 16000\n"
+    )
+    (root / "hmm.yml").write_text(
+        "n_units: 4\nstates_per_unit: 2\ncov_type: diagonal\nconcentration: 2.0\n"
+    )
+    return root
+
+
+def test_full_pipeline(workdir):
+    root = workdir
+    assert cli(["dataset", "create", str(root / "wav.scp"), str(root / "manifest.json")]) == 0
+    manifest = json.loads((root / "manifest.json").read_text())
+    assert len(manifest["utterances"]) == 4
+
+    assert cli([
+        "features", "extract", str(root / "features.yml"),
+        str(root / "manifest.json"), str(root / "feats.npz"),
+    ]) == 0
+    feats = np.load(root / "feats.npz")
+    assert len(feats.files) == 4 and feats["utt0"].shape[-1] == 10
+
+    assert cli([
+        "hmm", "mkphoneloop", str(root / "hmm.yml"),
+        str(root / "feats.npz"), str(root / "init.mdl"),
+    ]) == 0
+
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(root / "exp"), "--epochs", "3", "--single-device",
+    ]) == 0
+    assert (root / "exp" / "final.mdl").exists()
+
+    # resume: asking for more epochs continues from epoch 3
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(root / "exp"), "--epochs", "5", "--single-device",
+    ]) == 0
+    assert (root / "exp" / "epoch0005.mdl").exists()
+
+    assert cli([
+        "hmm", "decode", str(root / "exp" / "final.mdl"),
+        str(root / "feats.npz"), str(root / "trans.txt"),
+    ]) == 0
+    lines = (root / "trans.txt").read_text().splitlines()
+    assert len(lines) == 4
+    assert all(line.split()[1].startswith("au") for line in lines)

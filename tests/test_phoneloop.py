@@ -1,0 +1,120 @@
+"""Phone-loop AUD tests (BASELINE config 4).
+
+Synthetic AUD: sequences built from a small set of "phones" (distinct
+emission distributions with left-to-right dwell); the phone loop must
+train monotonically, discover the units, and produce segmentations whose
+NMI against the true phone labels is high.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import beer_tpu
+from beer_tpu.models.phoneloop import PhoneLoop
+from beer_tpu.vbi import vb_step
+
+
+def make_aud_data(rng, n_seq=12, n_phones=3, t_len=60, d=2, dtype=np.float64):
+    """Random phone sequences, each phone dwelling 4-8 frames."""
+    centers = rng.normal(size=(n_phones, d)) * 4.0
+    data = np.zeros((n_seq, t_len, d), dtype)
+    labels = np.full((n_seq, t_len), -1, np.int32)
+    mask = np.zeros((n_seq, t_len), dtype)
+    for i in range(n_seq):
+        t = 0
+        while t < t_len - 4:
+            p = int(rng.integers(n_phones))
+            dwell = int(rng.integers(4, 9))
+            dwell = min(dwell, t_len - t)
+            data[i, t : t + dwell] = centers[p] + 0.4 * rng.normal(size=(dwell, d))
+            labels[i, t : t + dwell] = p
+            t += dwell
+        mask[i, :t] = 1
+    return data, labels, mask, centers
+
+
+def nmi(a, b):
+    """Normalized mutual information of two label sequences."""
+    from collections import Counter
+
+    a, b = np.asarray(a), np.asarray(b)
+    n = len(a)
+    pa = Counter(a)
+    pb = Counter(b)
+    pab = Counter(zip(a, b))
+    mi = sum(
+        (c / n) * np.log((c / n) / ((pa[x] / n) * (pb[y] / n)))
+        for (x, y), c in pab.items()
+    )
+    ha = -sum((c / n) * np.log(c / n) for c in pa.values())
+    hb = -sum((c / n) * np.log(c / n) for c in pb.values())
+    return mi / max(np.sqrt(ha * hb), 1e-10)
+
+
+@pytest.fixture
+def trained_loop(rng):
+    data, labels, mask, _ = make_aud_data(rng)
+    flat = data.reshape(-1, 2)[mask.reshape(-1) > 0]
+    n_units, states_per_unit = 8, 3
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(flat.mean(0)),
+        jnp.asarray(np.cov(flat.T)),
+        size=n_units * states_per_unit,
+        cov_type="full",
+        noise_std=2.0,
+        key=jax.random.PRNGKey(11),
+    )
+    loop = PhoneLoop.create(
+        n_units, states_per_unit, nset, concentration=2.0, dtype=jnp.float64
+    )
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    step = jax.jit(vb_step)
+    elbos = []
+    for _ in range(30):
+        elbo, loop = step(loop, x, mask=m)
+        elbos.append(float(elbo) / mask.sum())
+    return loop, x, m, labels, mask, elbos
+
+
+def test_elbo_monotone(trained_loop):
+    *_, elbos = trained_loop
+    diffs = np.diff(elbos)
+    assert np.all(diffs > -1e-8), f"ELBO decreased: min diff {diffs.min()}"
+
+
+def test_unit_counts_total(rng):
+    """Expected unit counts must sum to the expected number of segments."""
+    data, labels, mask, _ = make_aud_data(rng, n_seq=4)
+    flat = data.reshape(-1, 2)[mask.reshape(-1) > 0]
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(flat.mean(0)), jnp.asarray(np.cov(flat.T)),
+        size=12, cov_type="full", noise_std=1.0, key=jax.random.PRNGKey(2),
+    )
+    loop = PhoneLoop.create(4, 3, nset, dtype=jnp.float64)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    stats = loop.sufficient_statistics(x)
+    _, cache = loop.infer(stats, mask=m)
+    counts = np.asarray(loop._unit_counts(cache))
+    assert counts.min() >= -1e-8
+    # total segments >= number of sequences (each visits at least one unit)
+    assert counts.sum() >= len(data) - 1e-6
+
+
+def test_aud_segmentation_quality(trained_loop):
+    loop, x, m, labels, mask, _ = trained_loop
+    units, _ = jax.jit(loop.decode_units)(x, m)
+    units = np.asarray(units)
+    valid = mask.reshape(-1) > 0
+    score = nmi(labels.reshape(-1)[valid], units.reshape(-1)[valid])
+    # 3 true phones, clean separation: NMI should be high
+    assert score > 0.55, f"NMI too low: {score}"
+
+
+def test_sb_prior_prunes_units(trained_loop):
+    """The DP prior should concentrate mass on a few units."""
+    loop, *_ = trained_loop
+    weights = np.asarray(loop.unit_prior.mean())
+    top3 = np.sort(weights)[::-1][:3].sum()
+    assert top3 > 0.6, f"stick-breaking weights too flat: {weights}"
