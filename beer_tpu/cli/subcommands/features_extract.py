@@ -40,12 +40,29 @@ def main(args):
     with open(args.manifest) as fh:
         utts = json.load(fh)["utterances"]
 
-    # jit per distinct signal length (cached across same-length utterances)
-    extract = jax.jit(lambda s: features.extract(s, conf))
+    # Bucket signal lengths (pad to the next half-second) so a handful of
+    # compiled programs cover the corpus instead of one per distinct
+    # length; padded frames are sliced away (mean-norm is recomputed on
+    # the true frames, so results match the unpadded pipeline exactly).
+    raw_conf = conf
+    if conf.mean_norm:
+        import dataclasses
+
+        raw_conf = dataclasses.replace(conf, mean_norm=False)
+    extract = jax.jit(lambda s: features.extract(s, raw_conf))
+    bucket = conf.srate // 2
     archive = {}
     for uttid, path in utts.items():
         sig = _load_audio(path, conf.srate)
-        archive[uttid] = np.asarray(extract(sig))
+        n = len(sig)
+        padded = np.zeros(-(-max(n, conf.frame_length) // bucket) * bucket,
+                          sig.dtype)
+        padded[:n] = sig
+        n_frames = 1 + (n - conf.frame_length) // conf.frame_shift
+        feats = np.asarray(extract(padded))[:n_frames]
+        if conf.mean_norm:
+            feats = feats - feats.mean(0, keepdims=True)
+        archive[uttid] = feats
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(args.out, **archive)
     dims = {v.shape[-1] for v in archive.values()}

@@ -39,7 +39,17 @@ class CompiledGraph:
     n_pdfs: int = struct.field(pytree_node=False, default=0)
 
     def expand_llh(self, per_pdf_llh: jnp.ndarray) -> jnp.ndarray:
-        """(..., n_pdfs) per-pdf log-likelihoods → (..., S) per-state."""
+        """(..., n_pdfs) per-pdf log-likelihoods → (..., S) per-state.
+
+        Supports per-utterance graphs: ``pdf_ids`` (B, S) with
+        ``per_pdf_llh`` (B, T, n_pdfs).
+        """
+        if self.pdf_ids.ndim == 2:
+            b, t = per_pdf_llh.shape[0], per_pdf_llh.shape[1]
+            idx = jnp.broadcast_to(
+                self.pdf_ids[:, None, :], (b, t, self.pdf_ids.shape[-1])
+            )
+            return jnp.take_along_axis(per_pdf_llh, idx, axis=-1)
         return per_pdf_llh[..., self.pdf_ids]
 
 
@@ -164,3 +174,52 @@ def phone_loop_graph(
             g.add_arc(e, s, exit_mass)
     g.normalize()
     return g
+
+
+def transcription_graphs(
+    transcriptions,
+    n_phones: int,
+    states_per_phone: int,
+    self_loop: float = 0.5,
+    dtype=jnp.float32,
+) -> CompiledGraph:
+    """Per-utterance forced-alignment graphs from phone transcriptions.
+
+    Reference parity: the supervised HMM-GMM training path (BASELINE
+    config 3 / historical ``recipes/timit``): each utterance's graph is
+    the left-to-right concatenation of its transcription's phone HMMs.
+
+    All utterances share the pdf space (phone p owns pdfs
+    [p·P, (p+1)·P)); the returned :class:`CompiledGraph` is *batched* —
+    every field has a leading (B,) axis, states padded to the longest
+    transcription (padding states are unreachable) — and plugs directly
+    into the batched scans.  Viterbi on these graphs is forced alignment.
+    """
+    import numpy as np
+
+    p = states_per_phone
+    b = len(transcriptions)
+    s_max = max(len(t) for t in transcriptions) * p
+    trans = np.full((b, s_max, s_max), LOG_ZERO)
+    init = np.full((b, s_max), LOG_ZERO)
+    final = np.full((b, s_max), LOG_ZERO)
+    pdf_ids = np.zeros((b, s_max), np.int32)
+    log_sl = math.log(self_loop)
+    log_adv = math.log(1.0 - self_loop)
+    for i, phones in enumerate(transcriptions):
+        n_states = len(phones) * p
+        for j in range(n_states):
+            trans[i, j, j] = log_sl
+            if j + 1 < n_states:
+                trans[i, j, j + 1] = log_adv
+            pdf_ids[i, j] = phones[j // p] * p + (j % p)
+        init[i, 0] = 0.0
+        final[i, n_states - 1] = log_adv
+    return CompiledGraph(
+        log_init=jnp.asarray(init, dtype),
+        log_final=jnp.asarray(final, dtype),
+        log_trans=jnp.asarray(trans, dtype),
+        pdf_ids=jnp.asarray(pdf_ids),
+        n_states=s_max,
+        n_pdfs=n_phones * p,
+    )

@@ -75,7 +75,10 @@ class HMM(DiscreteLatentModel):
         post = cache["posteriors"]  # (B, T, S)
         # state → pdf posteriors (states sharing a pdf sum together)
         one_hot = jax.nn.one_hot(self.graph.pdf_ids, self.graph.n_pdfs, dtype=post.dtype)
-        pdf_post = post @ one_hot  # (B, T, n_pdfs)
+        if one_hot.ndim == 3:  # per-utterance graphs: (B, S, n_pdfs)
+            pdf_post = jnp.einsum("bts,bsp->btp", post, one_hot)
+        else:
+            pdf_post = post @ one_hot  # (B, T, n_pdfs)
         flat_resps = pdf_post.reshape(-1, self.graph.n_pdfs)
         flat_stats = stats.reshape((-1,) + stats.shape[2:])
         return {"modelset": self.modelset.accumulate(flat_stats, flat_resps)}

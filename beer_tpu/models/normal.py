@@ -26,6 +26,7 @@ from beer_tpu import dists
 from beer_tpu.dists import normallik
 from beer_tpu.models.modelset import ModelSet
 from beer_tpu.models.parameters import BayesianParameter
+from beer_tpu.ops import stats_kernels
 
 LOG_2PI = math.log(2.0 * math.pi)
 
@@ -95,6 +96,9 @@ class NormalSet(ModelSet):
     cov_type: str = struct.field(pytree_node=False, default="full")
     ncomp: int = struct.field(pytree_node=False, default=1)
     dim: int = struct.field(pytree_node=False, default=1)
+    # Pallas-fused full-cov path: statistics stay as raw frames; the
+    # xx^T block is built tile-wise in VMEM (ops/stats_kernels.py).
+    fused: bool = struct.field(pytree_node=False, default=False)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -129,13 +133,19 @@ class NormalSet(ModelSet):
             fam, prior = _shared_prior_nat(cov_type, means, cov, prior_strength)
             _, post = _shared_prior_nat(cov_type, means + noise, cov, prior_strength)
         param = BayesianParameter(prior=prior, posterior=post, family=fam)
-        return cls(means_precisions=param, cov_type=cov_type, ncomp=size, dim=dim)
+        fused = cov_type == "full" and stats_kernels.use_fused_full(dim, size)
+        return cls(
+            means_precisions=param, cov_type=cov_type, ncomp=size, dim=dim,
+            fused=fused,
+        )
 
     def __len__(self) -> int:
         return self.ncomp
 
     # ------------------------------------------------------------------
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
+        if self.fused:
+            return data  # raw frames; xx^T is built in-kernel (fused path)
         if self.cov_type in _UNSHARED:
             return _UNSHARED[self.cov_type][1](data)
         return _SHARED[self.cov_type][1](data, self.ncomp)
@@ -147,6 +157,10 @@ class NormalSet(ModelSet):
     def expected_log_likelihood(self, stats: jnp.ndarray) -> jnp.ndarray:
         """(T, K) expected log-likelihood of every component."""
         e_stats = self.means_precisions.expected_sufficient_statistics()
+        if self.fused:
+            flat = stats.reshape(-1, self.dim)
+            llh = stats_kernels.fused_ellh_full(flat, e_stats, self.dim)
+            return llh.reshape(stats.shape[:-1] + (self.ncomp,))
         if self.cov_type in _UNSHARED:
             # (T, P) @ (P, K); HIGHEST: stats have x·xᵀ-scale dynamic range,
             # bf16x3 passes visibly perturb the ELBO (non-monotone VB-EM).
@@ -160,6 +174,11 @@ class NormalSet(ModelSet):
 
     def accumulate(self, stats: jnp.ndarray, resps: jnp.ndarray) -> Dict[str, Any]:
         """resps (T, K) → natural-space statistics for the parameter."""
+        if self.fused:
+            acc = stats_kernels.fused_accumulate_full(
+                stats.reshape(-1, self.dim), resps.reshape(-1, self.ncomp)
+            )
+            return {"means_precisions": acc}
         if self.cov_type in _UNSHARED:
             acc = jnp.einsum(
                 "...tk,...tp->...kp", resps, stats,

@@ -21,8 +21,10 @@ through), so the final carry equals the value at each sequence's true
 length — no gather needed.
 
 Conventions: ``llh`` (B, T, S) frame log-likelihoods; ``log_trans``
-(S, S) with [i, j] = log p(j | i); ``log_init`` / ``log_final`` (S,);
-``mask`` (B, T) 1.0 for real frames.
+(S, S) with [i, j] = log p(j | i) — or (B, S, S) for *per-utterance*
+graphs (supervised training on transcription-specific graphs);
+``log_init`` / ``log_final`` (S,) or (B, S); ``mask`` (B, T) 1.0 for
+real frames.
 """
 
 from __future__ import annotations
@@ -60,14 +62,21 @@ def forward(
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
     trans = jnp.exp(log_trans)  # probabilities in [0, 1] — safe to exp
+    batched_trans = trans.ndim == 3  # per-utterance graphs (B, S, S)
     alpha0 = _clamp(log_init + llh[:, 0]) * mask[:, 0:1] + (1 - mask[:, 0:1]) * 0.0
 
     def step(carry, inp):
         llh_t, m_t = inp  # (B, S), (B, 1)
         shift = jnp.max(carry, axis=-1, keepdims=True)
-        prop = jnp.log(
-            jnp.maximum(jnp.matmul(jnp.exp(carry - shift), trans, precision=jax.lax.Precision.HIGHEST), jnp.finfo(llh.dtype).tiny)
-        )
+        scaled = jnp.exp(carry - shift)
+        if batched_trans:
+            prod = jnp.einsum(
+                "bs,bst->bt", scaled, trans,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            prod = jnp.matmul(scaled, trans, precision=jax.lax.Precision.HIGHEST)
+        prop = jnp.log(jnp.maximum(prod, jnp.finfo(llh.dtype).tiny))
         new = _clamp(llh_t + shift + prop)
         carry = m_t * new + (1 - m_t) * carry
         return carry, carry
@@ -98,16 +107,23 @@ def backward(
     b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
-    trans_t = jnp.exp(log_trans).T
+    trans_t = jnp.swapaxes(jnp.exp(log_trans), -1, -2)
+    batched_trans = trans_t.ndim == 3
     beta_last = jnp.broadcast_to(_clamp(log_final), (b, s)).astype(llh.dtype)
 
     def step(carry, inp):
         llh_t1, m_t1 = inp  # llh at t+1, mask at t+1
         v = _clamp(llh_t1 + carry)
         shift = jnp.max(v, axis=-1, keepdims=True)
-        prop = jnp.log(
-            jnp.maximum(jnp.matmul(jnp.exp(v - shift), trans_t, precision=jax.lax.Precision.HIGHEST), jnp.finfo(llh.dtype).tiny)
-        )
+        scaled = jnp.exp(v - shift)
+        if batched_trans:
+            prod = jnp.einsum(
+                "bs,bst->bt", scaled, trans_t,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            prod = jnp.matmul(scaled, trans_t, precision=jax.lax.Precision.HIGHEST)
+        prop = jnp.log(jnp.maximum(prod, jnp.finfo(llh.dtype).tiny))
         new = _clamp(shift + prop)
         carry = m_t1 * new + (1 - m_t1) * carry
         return carry, carry
@@ -134,7 +150,9 @@ def forward_backward(
         mask = jnp.ones((b, t_len), llh.dtype)
     log_alpha, alpha_last = forward(llh, log_trans, log_init, mask)
     log_beta = backward(llh, log_trans, log_final, mask)
-    log_z = jax.scipy.special.logsumexp(alpha_last + log_final, axis=-1)
+    log_z = jax.scipy.special.logsumexp(
+        alpha_last + jnp.broadcast_to(log_final, alpha_last.shape), axis=-1
+    )
     log_post = log_alpha + log_beta - log_z[:, None, None]
     posteriors = jnp.exp(_clamp(log_post)) * mask[..., None]
     return FBResult(log_alpha, log_beta, log_z, posteriors)
@@ -207,10 +225,11 @@ def viterbi(
         mask = jnp.ones((b, t_len), llh.dtype)
     score0 = _clamp(log_init + llh[:, 0])
     ids = jnp.arange(s, dtype=jnp.int32)
+    lt = log_trans if log_trans.ndim == 3 else log_trans[None]
 
     def fwd_step(carry, inp):
         llh_t, m_t = inp
-        cand = carry[:, :, None] + log_trans[None]  # (B, S_prev, S_next)
+        cand = carry[:, :, None] + lt  # (B, S_prev, S_next)
         best_prev = jnp.argmax(cand, axis=1).astype(jnp.int32)  # (B, S)
         new = _clamp(llh_t + jnp.max(cand, axis=1))
         carry_new = m_t * new + (1 - m_t) * carry

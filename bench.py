@@ -57,11 +57,14 @@ def bench_beer_tpu(data, mask, iters=20):
 
     # compile + warmup
     elbo, acc = estep(loop, x, m)
-    jax.block_until_ready(elbo)
+    float(elbo)
+    # Honest timing: fetch the ELBO to host each iteration so every E-step
+    # fully completes (block_until_ready alone does not round-trip the
+    # axon tunnel and yields absurd numbers).
     t0 = time.time()
     for _ in range(iters):
         elbo, acc = estep(loop, x, m)
-    jax.block_until_ready(elbo)
+        float(elbo)
     dt = time.time() - t0
     frames = float(mask.sum()) * iters
     return frames / dt, float(elbo)

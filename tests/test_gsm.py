@@ -1,0 +1,77 @@
+"""GSM / subspace-HMM tests (SURVEY §3.5).
+
+Synthetic setting: unit emission parameters generated from a true 2-D
+affine subspace; accumulated per-unit statistics fed to the GSM; the
+reparameterization training must raise the ELBO and recover unit means.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from beer_tpu.models.gsm import GSM, HierarchicalGSM, make_gsm_train_step
+
+
+def make_unit_stats(rng, n_units=10, d=4, frames_per_unit=200):
+    """True params from a planted subspace; stats in [−½Σx², Σx, −½c, ½c]."""
+    w_true = rng.normal(size=(2, d))
+    b_true = rng.normal(size=d)
+    e_true = rng.normal(size=(n_units, 2))
+    mus = e_true @ w_true + b_true
+    lams = np.exp(0.3 * rng.normal(size=(n_units, d)))
+    stats = np.zeros((n_units, 4 * d))
+    counts = np.full(n_units, float(frames_per_unit))
+    for u in range(n_units):
+        x = mus[u] + rng.normal(size=(frames_per_unit, d)) / np.sqrt(lams[u])
+        stats[u] = np.concatenate([
+            -0.5 * (x**2).sum(0), x.sum(0),
+            np.full(d, -0.5 * frames_per_unit), np.full(d, 0.5 * frames_per_unit),
+        ])
+    return stats.astype(np.float32), counts.astype(np.float32), mus, lams
+
+
+def _train(gsm, stats, counts, iters=800, lr=5e-2):
+    tx = optax.adam(lr)
+    opt_state = tx.init(gsm)
+    step = make_gsm_train_step(tx)
+    key = jax.random.PRNGKey(0)
+    elbos = []
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        elbo, gsm, opt_state = step(
+            gsm, opt_state, jnp.asarray(stats), jnp.asarray(counts), sub
+        )
+        elbos.append(float(elbo))
+    return gsm, elbos
+
+
+def test_gsm_learns_units(rng):
+    stats, counts, mus, lams = make_unit_stats(rng)
+    gsm = GSM.create(n_units=10, embed_dim=2, obs_dim=4, key=jax.random.PRNGKey(1))
+    gsm, elbos = _train(gsm, stats, counts)
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-50:]) > np.mean(elbos[:50]) + 100.0
+    mu_est, lam_est = map(np.asarray, gsm.emission_expectations())
+    np.testing.assert_allclose(mu_est, mus, atol=0.25)
+    # precisions in the right ballpark (log-scale agreement)
+    np.testing.assert_allclose(np.log(lam_est), np.log(lams), atol=0.6)
+
+
+def test_hierarchical_gsm_runs(rng):
+    stats, counts, _, _ = make_unit_stats(rng, n_units=6)
+    gsm = HierarchicalGSM.create(
+        n_units=6, embed_dim=2, obs_dim=4, lang_dim=2, key=jax.random.PRNGKey(2)
+    )
+    gsm, elbos = _train(gsm, stats, counts, iters=200)
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
+
+
+def test_kl_zero_at_prior():
+    gsm = GSM.create(3, 2, 2)
+    gsm = gsm.replace(
+        e_mean=jnp.zeros_like(gsm.e_mean), e_logvar=jnp.zeros_like(gsm.e_logvar),
+        w_mean=jnp.zeros_like(gsm.w_mean), w_logvar=jnp.zeros_like(gsm.w_logvar),
+    )
+    np.testing.assert_allclose(float(gsm.kl_div_posterior_prior()), 0.0, atol=1e-6)

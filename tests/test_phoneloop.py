@@ -118,3 +118,30 @@ def test_sb_prior_prunes_units(trained_loop):
     weights = np.asarray(loop.unit_prior.mean())
     top3 = np.sort(weights)[::-1][:3].sum()
     assert top3 > 0.6, f"stick-breaking weights too flat: {weights}"
+
+
+def test_hyperprior_phone_loop(rng):
+    """SBCategoricalHyperPrior trains monotonically and adapts gamma."""
+    from beer_tpu.models.categorical import SBCategoricalHyperPrior
+
+    data, labels, mask, _ = make_aud_data(rng, n_seq=6)
+    flat = data.reshape(-1, 2)[mask.reshape(-1) > 0]
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(flat.mean(0)), jnp.asarray(np.cov(flat.T)),
+        size=18, cov_type="full", noise_std=1.5, key=jax.random.PRNGKey(4),
+    )
+    prior = SBCategoricalHyperPrior.create(6, dtype=jnp.float64)
+    loop = PhoneLoop.create(6, 3, nset, unit_prior=prior, dtype=jnp.float64)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    step = jax.jit(vb_step)
+    elbos = []
+    for _ in range(15):
+        elbo, loop = step(loop, x, mask=m)
+        elbos.append(float(elbo) / mask.sum())
+    diffs = np.diff(elbos)
+    assert np.all(diffs > -1e-7), f"min diff {diffs.min()}"
+    # gamma posterior moved away from the prior
+    a, b = loop.unit_prior.concentration.family.to_std(
+        loop.unit_prior.concentration.posterior
+    )
+    assert float(a) > 1.0

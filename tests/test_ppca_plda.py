@@ -1,0 +1,113 @@
+"""PPCA and PLDA tests.
+
+PPCA: ELBO monotone; recovers a planted 2-D subspace in 6-D data; noise
+precision estimated correctly.  PLDA: ELBO monotone on labeled clusters;
+same-class trials score higher than different-class trials.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from beer_tpu.models.ppca import PPCA
+from beer_tpu.models.plda import PLDA
+from beer_tpu.vbi import vb_step
+
+
+class TestPPCA:
+    def make_data(self, rng, n=500, d=6, q=2, noise=0.1):
+        w = rng.normal(size=(d, q))
+        z = rng.normal(size=(n, q))
+        mu = rng.normal(size=d)
+        return (mu + z @ w.T + noise * rng.normal(size=(n, d))), w, mu
+
+    def test_elbo_monotone_and_recovery(self, rng):
+        data, w_true, mu_true = self.make_data(rng)
+        x = jnp.asarray(data)
+        model = PPCA.create(6, 2, mean=data.mean(0), key=jax.random.PRNGKey(0),
+                            dtype=jnp.float64)
+        elbos = []
+        step = jax.jit(vb_step)
+        for _ in range(80):
+            elbo, model = step(model, x)
+            elbos.append(float(elbo) / len(data))
+        diffs = np.diff(elbos)
+        assert np.all(diffs > -1e-8), f"ELBO decreased: min {diffs.min()}"
+        # recovered subspace spans the true one (principal angles ~ 0)
+        w_est = np.asarray(model.w_mean)
+        qt, _ = np.linalg.qr(w_true)
+        qe, _ = np.linalg.qr(w_est)
+        sv = np.linalg.svd(qt.T @ qe, compute_uv=False)
+        np.testing.assert_allclose(sv, 1.0, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(model.mean), mu_true, atol=0.1)
+        # noise precision ~ 1/0.1^2 = 100
+        e_lam = float(model._e_lam()[0])
+        assert 60 < e_lam < 140, e_lam
+
+    def test_transform_shape(self, rng):
+        data, _, _ = self.make_data(rng, n=50)
+        model = PPCA.create(6, 2, dtype=jnp.float64)
+        z = model.transform(jnp.asarray(data))
+        assert z.shape == (50, 2)
+
+
+class TestPLDA:
+    def make_data(self, rng, n_classes=20, per_class=15, d=8, q=2):
+        f = rng.normal(size=(d, q)) * 2.0
+        mu = rng.normal(size=d)
+        xs, ys = [], []
+        for c in range(n_classes):
+            h = rng.normal(size=q)
+            xs.append(mu + h @ f.T + 0.3 * rng.normal(size=(per_class, d)))
+            ys.append(np.full(per_class, c))
+        return np.concatenate(xs), np.concatenate(ys).astype(np.int32)
+
+    def fit(self, rng, iters=40):
+        data, labels = self.make_data(rng)
+        x = jnp.asarray(data)
+        y = jnp.asarray(labels)
+        n_classes = int(labels.max()) + 1
+        model = PLDA.create(8, 2, mean=data.mean(0), key=jax.random.PRNGKey(0),
+                            dtype=jnp.float64)
+
+        @jax.jit
+        def step(model, x, y):
+            stats = model.sufficient_statistics(x)
+            llh, cache = model.infer(stats, labels=y, n_classes=n_classes)
+            elbo = llh.sum() - model.kl_div_posterior_prior()
+            acc = model.accumulate(stats, cache)
+            return elbo, model.vb_update(acc)
+
+        elbos = []
+        for _ in range(iters):
+            elbo, model = step(model, x, y)
+            elbos.append(float(elbo) / len(data))
+        return model, data, labels, elbos
+
+    def test_elbo_monotone(self, rng):
+        _, _, _, elbos = self.fit(rng)
+        diffs = np.diff(elbos)
+        assert np.all(diffs > -1e-8), f"ELBO decreased: min {diffs.min()}"
+
+    def test_llr_separates_trials(self, rng):
+        model, data, labels, _ = self.fit(rng)
+        rng2 = np.random.default_rng(1)
+        same_pairs, diff_pairs = [], []
+        for _ in range(200):
+            c = rng2.integers(labels.max() + 1)
+            idx = np.flatnonzero(labels == c)
+            i, j = rng2.choice(idx, 2, replace=False)
+            same_pairs.append((data[i], data[j]))
+            c2 = (c + 1 + rng2.integers(labels.max())) % (labels.max() + 1)
+            k = rng2.choice(np.flatnonzero(labels == c2))
+            diff_pairs.append((data[i], data[k]))
+        e1s = jnp.asarray([p[0] for p in same_pairs])
+        e2s = jnp.asarray([p[1] for p in same_pairs])
+        e1d = jnp.asarray([p[0] for p in diff_pairs])
+        e2d = jnp.asarray([p[1] for p in diff_pairs])
+        same_scores = np.asarray(model.llr_score(e1s, e2s))
+        diff_scores = np.asarray(model.llr_score(e1d, e2d))
+        # strong separation: EER well below chance
+        thresh = np.median(np.concatenate([same_scores, diff_scores]))
+        acc = 0.5 * ((same_scores > thresh).mean() + (diff_scores <= thresh).mean())
+        assert acc > 0.9, f"PLDA verification accuracy too low: {acc}"
