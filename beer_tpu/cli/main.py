@@ -9,7 +9,7 @@ import sys
 GROUPS = {
     "dataset": ["create"],
     "features": ["extract"],
-    "hmm": ["mkphoneloop", "train", "decode"],
+    "hmm": ["mkphones", "mkphoneloop", "train", "decode"],
 }
 
 

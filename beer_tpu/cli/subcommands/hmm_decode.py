@@ -15,6 +15,11 @@ def setup(parser):
         "--per-frame", action="store_true",
         help="emit per-frame unit labels instead of collapsed transcriptions",
     )
+    parser.add_argument(
+        "--phone-lm", action="store_true",
+        help="the model is mkphones emissions: decode with a phone-loop "
+        "graph and emit phone symbols (supervised recognizer)",
+    )
 
 
 def collapse(units):
@@ -36,6 +41,31 @@ def main(args):
     model = load_model(args.model)
     archive = np.load(args.feats)
     keys, data, mask = pad_archive(archive)
+
+    if args.phone_lm:
+        import json
+
+        from beer_tpu.models.graph import phone_loop_graph
+        from beer_tpu.models.hmm import HMM
+
+        meta = json.loads(Path(args.model + ".phones.json").read_text())
+        phones = meta["phones"]
+        spp = meta["states_per_phone"]
+        recognizer = HMM.create(
+            phone_loop_graph(len(phones), spp).compile(), model
+        )
+        paths, _ = jax.jit(recognizer.decode)(
+            jnp.asarray(data), jnp.asarray(mask)
+        )
+        units = np.asarray(paths) // spp
+        Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.out, "w") as fh:
+            for i, k in enumerate(keys):
+                ln = int(mask[i].sum())
+                labels = units[i, :ln] if args.per_frame else collapse(units[i, :ln])
+                fh.write(f"{k} {' '.join(phones[u] for u in labels)}\n")
+        print(f"decoded {len(keys)} utterances to {args.out}")
+        return
 
     decode = jax.jit(model.decode_units)
     units, scores = decode(jnp.asarray(data), jnp.asarray(mask))

@@ -22,6 +22,11 @@ def setup(parser):
     parser.add_argument("--epochs", type=int, default=30)
     parser.add_argument("--lrate", type=float, default=1.0)
     parser.add_argument("--single-device", action="store_true")
+    parser.add_argument(
+        "--transcriptions", default=None,
+        help="supervised training: 'uttid ph1 ph2 ...' per line; the input "
+        "model must be mkphones emissions (BASELINE config 3)",
+    )
 
 
 def pad_archive(archive):
@@ -60,6 +65,42 @@ def main(args):
 
     archive = np.load(args.feats)
     keys, data, mask = pad_archive(archive)
+
+    if args.transcriptions:
+        import json
+
+        from beer_tpu.models.graph import transcription_graphs
+        from beer_tpu.models.hmm import HMM
+        from beer_tpu.cli.subcommands.hmm_mkphones import read_transcriptions
+
+        meta = json.loads(Path(args.model + ".phones.json").read_text())
+        phone_idx = {p: i for i, p in enumerate(meta["phones"])}
+        trans = read_transcriptions(args.transcriptions)
+        seqs = [[phone_idx[p] for p in trans[k]] for k in keys]
+        graphs = transcription_graphs(
+            seqs, len(meta["phones"]), meta["states_per_phone"]
+        )
+        if ckpt is not None:
+            model = load_model(ckpt)  # full HMM checkpoint (incl. graphs)
+        else:
+            model = HMM.create(graphs, model)  # model holds the emissions
+        step = jax.jit(
+            lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)
+        )
+        x, m = jnp.asarray(data), jnp.asarray(mask)
+        n_frames = float(mask.sum())
+        for epoch in range(start_epoch + 1, args.epochs + 1):
+            elbo, model = step(model, x, m)
+            print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
+            save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+        # final artifact = the trained *emissions* (graph is per-corpus)
+        save_model(model.modelset, outdir / "final.mdl")
+        import shutil
+
+        shutil.copy(args.model + ".phones.json",
+                    outdir / "final.mdl.phones.json")
+        print(f"wrote {outdir / 'final.mdl'}")
+        return
 
     n_dev = len(jax.devices())
     if n_dev > 1 and not args.single_device:

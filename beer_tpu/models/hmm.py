@@ -91,29 +91,12 @@ class HMM(DiscreteLatentModel):
 
     # ------------------------------------------------------------------
     def expected_transition_counts(self, cache: Dict[str, Any]) -> jnp.ndarray:
-        """E[#transitions i→j] summed over the batch, (S, S).
-
-        ξ_t(i, j) = exp(α_t(i) + log A(i,j) + llh_{t+1}(j) + β_{t+1}(j)
-        − log Z), accumulated with per-timestep shifted outer-product
-        matmuls (no (T, S, S) materialization beyond the einsum).
-        """
+        """E[#transitions i→j] summed over the batch, (S, S)."""
         fb = cache["fb"]
-        llh_states = cache["llh_states"]
-        mask = cache["mask"]
-        b, t_len, s = llh_states.shape
-        if mask is None:
-            mask = jnp.ones((b, t_len), llh_states.dtype)
-        alpha = fb.log_alpha[:, :-1]                     # (B, T-1, S)
-        v = llh_states[:, 1:] + fb.log_beta[:, 1:]       # (B, T-1, S)
-        s_a = jnp.max(alpha, axis=-1, keepdims=True)
-        s_v = jnp.max(v, axis=-1, keepdims=True)
-        w = jnp.exp(
-            (s_a + s_v)[..., 0] - fb.log_z[:, None]
-        ) * mask[:, 1:]                                   # (B, T-1)
-        p = jnp.exp(alpha - s_a)
-        q = jnp.exp(v - s_v)
-        outer = jnp.einsum("bti,btj,bt->ij", p, q, w)
-        return outer * jnp.exp(self.graph.log_trans)
+        return semiring_scan.expected_transition_counts(
+            fb.log_alpha, fb.log_beta, cache["llh_states"],
+            self.graph.log_trans, fb.log_z, cache["mask"],
+        )
 
     def decode(self, data: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         """Viterbi best state path; returns (paths (B, T), scores (B,))."""

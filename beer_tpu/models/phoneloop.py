@@ -16,8 +16,8 @@ E-step as exp(E[log π]) (VB geometric-mean parameters):
 
 so the conjugate update of the unit prior consumes exact expected unit
 counts: first-frame occupancy of each unit's start state + the ξ-counts
-of all loop-back arcs (computed with the shifted outer-product matmuls of
-:meth:`~beer_tpu.models.hmm.HMM.expected_transition_counts`).
+of all loop-back arcs (overflow-safe chunked computation in
+:func:`beer_tpu.ops.semiring_scan.expected_transition_counts`).
 
 State/pdf layout: unit u owns states and pdfs [u·P, (u+1)·P).
 """
@@ -147,24 +147,10 @@ class PhoneLoop(DiscreteLatentModel):
         """Expected number of times each unit is selected."""
         fb = cache["fb"]
         graph = cache["graph"]
-        llh_states = cache["llh_states"]
-        mask = cache["mask"]
-        b, t_len, s = llh_states.shape
-        if mask is None:
-            mask = jnp.ones((b, t_len), llh_states.dtype)
-        # ξ-counts of every arc (S, S), then restrict to loop-backs.
-        alpha = fb.log_alpha[:, :-1]
-        v = llh_states[:, 1:] + fb.log_beta[:, 1:]
-        s_a = jnp.max(alpha, axis=-1, keepdims=True)
-        s_v = jnp.max(v, axis=-1, keepdims=True)
-        w = jnp.exp((s_a + s_v)[..., 0] - fb.log_z[:, None]) * mask[:, 1:]
-        xi = jnp.einsum(
-            "bti,btj,bt->ij",
-            jnp.exp(alpha - s_a),
-            jnp.exp(v - s_v),
-            w,
-            precision=jax.lax.Precision.HIGHEST,
-        ) * jnp.exp(graph.log_trans)
+        xi = semiring_scan.expected_transition_counts(
+            fb.log_alpha, fb.log_beta, cache["llh_states"],
+            graph.log_trans, fb.log_z, cache["mask"],
+        )
         loop_counts = xi[self._ends[:, None], self._starts[None, :]].sum(0)
         init_counts = fb.posteriors[:, 0, :][:, self._starts].sum(0)
         return loop_counts + init_counts

@@ -158,6 +158,57 @@ def forward_backward(
     return FBResult(log_alpha, log_beta, log_z, posteriors)
 
 
+def expected_transition_counts(
+    log_alpha: jnp.ndarray,
+    log_beta: jnp.ndarray,
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_z: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    chunk: int = 16,
+) -> jnp.ndarray:
+    """Σ_t ξ_t summed over the batch: E[#transitions i→j], (S, S).
+
+    ξ_t(i, j) = exp(α_t(i) + log A(i, j) + llh_{t+1}(j) + β_{t+1}(j) − log Z).
+
+    Every term is a probability (≤ 1), so summing the *exponentiated*
+    expression directly is overflow-free — unlike shifted outer-product
+    factorizations, which overflow whenever the per-factor argmax pair is
+    a forbidden transition.  Memory is bounded by materializing only
+    (B, chunk, S, S) at a time inside a ``lax.scan`` over time chunks.
+    """
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    alpha = log_alpha[:, :-1] - log_z[:, None, None]   # (B, T-1, S)
+    v = _clamp(llh[:, 1:] + log_beta[:, 1:])           # (B, T-1, S)
+    m = mask[:, 1:]
+    n_steps = t_len - 1
+    pad = (-n_steps) % chunk
+    if pad:
+        alpha = jnp.pad(alpha, ((0, 0), (0, pad), (0, 0)), constant_values=_NEG_INF)
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=_NEG_INF)
+        m = jnp.pad(m, ((0, 0), (0, pad)))
+    nc = alpha.shape[1] // chunk
+    alpha = alpha.reshape(b, nc, chunk, s)
+    v = v.reshape(b, nc, chunk, s)
+    m = m.reshape(b, nc, chunk)
+
+    def body(acc, xs):
+        a_c, v_c, m_c = xs  # (B, chunk, S), (B, chunk, S), (B, chunk)
+        expo = _clamp(a_c[..., :, None] + log_trans + v_c[..., None, :])
+        xi = jnp.exp(expo) * m_c[..., None, None]
+        return acc + xi.sum((0, 1)), None
+
+    init = jnp.zeros((s, s), llh.dtype)
+    acc, _ = jax.lax.scan(
+        body,
+        init,
+        (jnp.swapaxes(alpha, 0, 1), jnp.swapaxes(v, 0, 1), jnp.swapaxes(m, 0, 1)),
+    )
+    return acc
+
+
 # ----------------------------------------------------------------------
 # Associative-scan variant (O(log T) depth)
 # ----------------------------------------------------------------------

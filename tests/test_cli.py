@@ -83,3 +83,39 @@ def test_full_pipeline(workdir):
     lines = (root / "trans.txt").read_text().splitlines()
     assert len(lines) == 4
     assert all(line.split()[1].startswith("au") for line in lines)
+
+
+def test_supervised_pipeline(workdir, tmp_path):
+    """mkphones -> train --transcriptions -> decode --phone-lm (config 3)."""
+    root = workdir
+    exp = tmp_path / "sup"
+    exp.mkdir()
+    # fake transcriptions over the 4 utterances (3 segments each)
+    trans = exp / "train.trans"
+    trans.write_text(
+        "\n".join(f"utt{i} a b c" for i in range(4)) + "\n"
+    )
+    (exp / "phones.yml").write_text(
+        "states_per_phone: 2\nncomp_per_state: 1\ncov_type: diagonal\n"
+    )
+    assert cli([
+        "hmm", "mkphones", str(exp / "phones.yml"), str(root / "feats.npz"),
+        str(trans), str(exp / "emissions.mdl"),
+    ]) == 0
+    assert (exp / "emissions.mdl.phones.json").exists()
+
+    assert cli([
+        "hmm", "train", str(exp / "emissions.mdl"), str(root / "feats.npz"),
+        str(exp / "exp"), "--epochs", "3",
+        "--transcriptions", str(trans),
+    ]) == 0
+    assert (exp / "exp" / "final.mdl").exists()
+
+    assert cli([
+        "hmm", "decode", str(exp / "exp" / "final.mdl"),
+        str(root / "feats.npz"), str(exp / "hyp.txt"), "--phone-lm",
+    ]) == 0
+    lines = (exp / "hyp.txt").read_text().splitlines()
+    assert len(lines) == 4
+    symbols = set(lines[0].split()[1:])
+    assert symbols <= {"a", "b", "c"}
