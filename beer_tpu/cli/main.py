@@ -10,6 +10,7 @@ GROUPS = {
     "dataset": ["create"],
     "features": ["extract"],
     "hmm": ["mkphones", "mkphoneloop", "train", "decode"],
+    "shmm": ["train"],
 }
 
 

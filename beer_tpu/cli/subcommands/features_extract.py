@@ -64,6 +64,11 @@ def main(args):
             feats = feats - feats.mean(0, keepdims=True)
         archive[uttid] = feats
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(args.out, **archive)
+    if args.out.endswith(".bar"):
+        from beer_tpu import io as bio
+
+        bio.write_archive(args.out, archive)
+    else:
+        np.savez_compressed(args.out, **archive)
     dims = {v.shape[-1] for v in archive.values()}
     print(f"extracted {len(archive)} utterances (feature dim {dims}) to {args.out}")

@@ -39,8 +39,7 @@ def main(args):
     from beer_tpu.utils import load_model
 
     model = load_model(args.model)
-    archive = np.load(args.feats)
-    keys, data, mask = pad_archive(archive)
+    keys, data, mask = pad_archive(args.feats)
 
     if args.phone_lm:
         import json

@@ -28,8 +28,14 @@ def main(args):
     noise_std = float(conf.get("noise_std", 1.0))
     seed = int(conf.get("seed", 1))
 
-    archive = np.load(args.feats)
-    flat = np.concatenate([archive[k] for k in archive.files])
+    if args.feats.endswith(".bar"):
+        from beer_tpu import io as bio
+
+        bar = bio.Archive(args.feats)
+        flat = np.concatenate([bar[i] for i in range(len(bar))])
+    else:
+        archive = np.load(args.feats)
+        flat = np.concatenate([archive[k] for k in archive.files])
     mean = jnp.asarray(flat.mean(0))
     if cov_type == "full":
         cov = jnp.asarray(np.cov(flat.T))

@@ -50,8 +50,14 @@ def main(args):
     trans = read_transcriptions(args.transcriptions)
     phones = sorted({p for seq in trans.values() for p in seq})
 
-    archive = np.load(args.feats)
-    flat = np.concatenate([archive[k] for k in archive.files])
+    if args.feats.endswith(".bar"):
+        from beer_tpu import io as bio
+
+        bar = bio.Archive(args.feats)
+        flat = np.concatenate([bar[i] for i in range(len(bar))])
+    else:
+        archive = np.load(args.feats)
+        flat = np.concatenate([archive[k] for k in archive.files])
     mean = jnp.asarray(flat.mean(0))
     cov = (
         jnp.asarray(np.cov(flat.T))

@@ -29,7 +29,13 @@ def setup(parser):
     )
 
 
-def pad_archive(archive):
+def pad_archive(path_or_npz):
+    """Accepts a path (.bar native archive or .npz) or an opened npz."""
+    from beer_tpu import io as bio
+
+    if isinstance(path_or_npz, (str, Path)):
+        return bio.load_padded(path_or_npz)
+    archive = path_or_npz
     keys = list(archive.files)
     lengths = [archive[k].shape[0] for k in keys]
     t_max = max(lengths)
@@ -63,8 +69,7 @@ def main(args):
     else:
         model = load_model(args.model)
 
-    archive = np.load(args.feats)
-    keys, data, mask = pad_archive(archive)
+    keys, data, mask = pad_archive(args.feats)
 
     if args.transcriptions:
         import json
@@ -115,11 +120,22 @@ def main(args):
             lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)
         )
 
+    from beer_tpu.utils import MetricsLogger
+
     x, m = jnp.asarray(data), jnp.asarray(mask)
     n_frames = float(mask.sum())
+    logger = MetricsLogger(outdir / "log", stdout=False)
+    import time as _time
+
     for epoch in range(start_epoch + 1, args.epochs + 1):
+        t0 = _time.time()
         elbo, model = step(model, x, m)
-        print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
+        elbo_val = float(elbo)  # forces completion before timing
+        dt = _time.time() - t0
+        print(f"epoch {epoch}: elbo/frame = {elbo_val / n_frames:.6f}")
+        logger.log(epoch, elbo_per_frame=elbo_val / n_frames,
+                   frames_per_sec=n_frames / dt)
         save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+    logger.close()
     save_model(model, outdir / "final.mdl")
     print(f"wrote {outdir / 'final.mdl'}")

@@ -54,6 +54,7 @@ class GSM:
     n_units: int = struct.field(pytree_node=False, default=1)
     embed_dim: int = struct.field(pytree_node=False, default=2)
     obs_dim: int = struct.field(pytree_node=False, default=1)
+    states_per_unit: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def create(
@@ -61,19 +62,22 @@ class GSM:
         n_units: int,
         embed_dim: int,
         obs_dim: int,
+        states_per_unit: int = 1,
         key: Optional[jax.Array] = None,
         dtype=jnp.float32,
     ) -> "GSM":
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
+        out = 2 * obs_dim * states_per_unit
         return cls(
             e_mean=0.1 * jax.random.normal(k1, (n_units, embed_dim), dtype),
             e_logvar=jnp.full((n_units, embed_dim), -2.0, dtype),
-            w_mean=0.1 * jax.random.normal(k2, (embed_dim + 1, 2 * obs_dim), dtype),
-            w_logvar=jnp.full((embed_dim + 1, 2 * obs_dim), -4.0, dtype),
+            w_mean=0.1 * jax.random.normal(k2, (embed_dim + 1, out), dtype),
+            w_logvar=jnp.full((embed_dim + 1, out), -4.0, dtype),
             n_units=n_units,
             embed_dim=embed_dim,
             obs_dim=obs_dim,
+            states_per_unit=states_per_unit,
         )
 
     # ------------------------------------------------------------------
@@ -90,9 +94,18 @@ class GSM:
         return e, w
 
     def unit_params(self, e: jnp.ndarray, w: jnp.ndarray):
-        """Affine map + link: embeddings → (μ (U, D), λ (U, D))."""
+        """Affine map + link: embeddings → μ, λ of every unit state.
+
+        Returns (μ, λ) with shape (..., U, P_states, D) — the subspace
+        generates *all* emission parameters of each unit's HMM from the
+        unit embedding, as in the SHMM papers; P_states=1 degenerates to
+        one Normal per unit.
+        """
         ones = jnp.ones(e.shape[:-1] + (1,), e.dtype)
-        raw = jnp.concatenate([e, ones], axis=-1) @ w  # (..., U, 2D)
+        raw = jnp.concatenate([e, ones], axis=-1) @ w
+        raw = raw.reshape(
+            raw.shape[:-1] + (self.states_per_unit, 2 * self.obs_dim)
+        )
         mu = raw[..., : self.obs_dim]
         lam = _softplus(raw[..., self.obs_dim :]) + 1e-4
         return mu, lam
@@ -104,14 +117,18 @@ class GSM:
     ) -> jnp.ndarray:
         """Monte-Carlo E_q[Σ_u ⟨s_u, η(e_u)⟩ − c_u A_x(η(e_u))].
 
-        ``unit_stats`` (U, 4D) are accumulated diagonal-Normal statistics
-        in the standard layout [−½Σx², Σx, −½c, ½c]; ``unit_counts`` (U,).
+        ``unit_stats`` (U, P_states, 4D) (or (U, 4D) when P_states=1) are
+        accumulated diagonal-Normal statistics in the standard layout
+        [−½Σx², Σx, −½c, ½c]; ``unit_counts`` matches its leading shape.
         """
+        if unit_stats.ndim == 2:
+            unit_stats = unit_stats[:, None, :]
+            unit_counts = unit_counts[:, None]
         e, w = self._sample_params(key, nsamples)
-        mu, lam = self.unit_params(e, w)  # (S, U, D)
+        mu, lam = self.unit_params(e, w)  # (S, U, P, D)
         d = self.obs_dim
-        s_sq = unit_stats[:, :d]          # Σ −½x² per dim
-        s_x = unit_stats[:, d : 2 * d]    # Σ x per dim
+        s_sq = unit_stats[..., :d]        # Σ −½x² per dim
+        s_x = unit_stats[..., d : 2 * d]  # Σ x per dim
         # ⟨s, T(θ)⟩ with T = [λ, λμ, λμ², log λ] and A_x folded in:
         # Σ_t log N(x_t|μ,λ⁻¹) = −½λΣx² + λμΣx − c(½λμ² − ½logλ + ½log2π)
         ll = (
@@ -121,7 +138,7 @@ class GSM:
                 0.5 * (lam * mu**2) - 0.5 * jnp.log(lam) + 0.5 * LOG_2PI
             ).sum(-1)
         )
-        return ll.sum(-1).mean()  # sum over units, MC average
+        return ll.sum(tuple(range(1, ll.ndim))).mean()  # sum units+states, MC avg
 
     def kl_div_posterior_prior(self) -> jnp.ndarray:
         """KL of q(e) and q(W) vs standard-Normal priors (diagonal)."""
@@ -229,3 +246,54 @@ def make_gsm_train_step(tx, nsamples: int = 4):
         return -loss, gsm, opt_state
 
     return jax.jit(step)
+
+
+# ----------------------------------------------------------------------
+# Phone-loop bridge (SHMM training loop, SURVEY §3.5)
+# ----------------------------------------------------------------------
+def accumulate_unit_stats(loop, data, mask=None):
+    """Per-unit-state diagonal statistics from a phone-loop E-step.
+
+    Returns (stats (U, P, 4D), counts (U, P)) in the layout
+    :meth:`GSM.expected_llh_of_stats` consumes — the "phone-loop E-steps
+    feed the subspace" link of the SHMM recipes.
+    """
+    from beer_tpu.dists import normallik
+
+    stats = loop.sufficient_statistics(data)
+    _, cache = loop.infer(stats, mask=mask)
+    post = cache["posteriors"]                      # (B, T, S)
+    x = data if data.ndim == 3 else data[None]
+    d = x.shape[-1]
+    diag_stats = normallik.suff_stats_diag(x).reshape(-1, 4 * d)
+    flat_post = post.reshape(-1, post.shape[-1])
+    acc = jnp.einsum(
+        "ts,tp->sp", flat_post, diag_stats,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    counts = flat_post.sum(0)
+    u, p = loop.n_units, loop.states_per_unit
+    return acc.reshape(u, p, 4 * d), counts.reshape(u, p)
+
+
+def apply_to_phoneloop(gsm, loop, confidence: float = 1e4):
+    """Write the subspace's emission parameters back into a phone loop.
+
+    The emissions become sharply-peaked NormalGamma posteriors whose
+    expectations match the subspace point estimates (E[λ] = λ(e_u),
+    mean = μ(e_u)), so subsequent phone-loop E-steps / decoding use the
+    subspace-constrained parameters (the SHMM alternation).
+    """
+    mu, lam = gsm.emission_expectations()           # (U, P, D)
+    d = gsm.obs_dim
+    flat_mu = mu.reshape(-1, d)
+    flat_lam = lam.reshape(-1, d)
+    fam = loop.modelset.means_precisions.family
+    nat = fam.to_nat(
+        flat_mu,
+        jnp.full_like(flat_mu, confidence),
+        jnp.full_like(flat_mu, confidence),
+        confidence / flat_lam,
+    )
+    param = loop.modelset.means_precisions.replace(posterior=nat)
+    return loop.replace(modelset=loop.modelset.replace(means_precisions=param))

@@ -39,13 +39,12 @@ class HMM(DiscreteLatentModel):
 
     graph: CompiledGraph
     modelset: Any
-    use_assoc_scan: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, graph, modelset, use_assoc_scan: bool = False) -> "HMM":
+    def create(cls, graph, modelset) -> "HMM":
         if isinstance(graph, Graph):
             graph = graph.compile()
-        return cls(graph=graph, modelset=modelset, use_assoc_scan=use_assoc_scan)
+        return cls(graph=graph, modelset=modelset)
 
     # ------------------------------------------------------------------
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:

@@ -139,9 +139,6 @@ class VBOptimizer:
     """
 
     def __init__(self, model, optax_optimizer, nnet_params, lrate: float = 1.0):
-        import optax  # local import: optax only needed for hybrid models
-
-        del optax
         self.model = model
         self.lrate = lrate
         self.tx = optax_optimizer
@@ -149,11 +146,11 @@ class VBOptimizer:
         self.opt_state = optax_optimizer.init(nnet_params)
 
     def step(self, elbo_acc, nnet_grads):
+        import optax  # deferred: optax only needed for hybrid models
+
         updates, self.opt_state = self.tx.update(
             nnet_grads, self.opt_state, self.nnet_params
         )
-        import optax
-
         self.nnet_params = optax.apply_updates(self.nnet_params, updates)
         self.model = self.model.vb_update(elbo_acc, self.lrate)
         return self.model, self.nnet_params

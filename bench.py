@@ -36,13 +36,13 @@ def make_data():
     return data, mask
 
 
-def bench_beer_tpu(data, mask, iters=20):
+def bench_beer_tpu(data, mask, outer=4, inner=10):
     import jax
     import jax.numpy as jnp
 
     import beer_tpu
     from beer_tpu.models.phoneloop import PhoneLoop
-    from beer_tpu.vbi import elbo_and_stats
+    from beer_tpu.vbi import vb_step
 
     nset = beer_tpu.NormalSet.create(
         jnp.zeros(D), jnp.ones(D), size=S, cov_type="diagonal",
@@ -51,22 +51,27 @@ def bench_beer_tpu(data, mask, iters=20):
     loop = PhoneLoop.create(N_UNITS, STATES_PER_UNIT, nset)
     x, m = jnp.asarray(data), jnp.asarray(mask)
 
+    # The realistic workload (BASELINE: "epoch ELBO wall-clock"): `inner`
+    # full VB-EM epochs chained in one jitted scan, so host/tunnel
+    # round-trip latency is amortized over real training work.  Timing
+    # fetches the final ELBO to host each call — block_until_ready alone
+    # does not round-trip the axon tunnel and yields absurd numbers.
     @jax.jit
-    def estep(model, x, mask):
-        return elbo_and_stats(model, x, mask=mask)
+    def train_epochs(model, x, mask):
+        def body(model, _):
+            elbo, model = vb_step(model, x, mask=mask)
+            return model, elbo
+        model, elbos = jax.lax.scan(body, model, None, length=inner)
+        return model, elbos[-1]
 
-    # compile + warmup
-    elbo, acc = estep(loop, x, m)
+    loop, elbo = train_epochs(loop, x, m)  # compile + warmup
     float(elbo)
-    # Honest timing: fetch the ELBO to host each iteration so every E-step
-    # fully completes (block_until_ready alone does not round-trip the
-    # axon tunnel and yields absurd numbers).
     t0 = time.time()
-    for _ in range(iters):
-        elbo, acc = estep(loop, x, m)
+    for _ in range(outer):
+        loop, elbo = train_epochs(loop, x, m)
         float(elbo)
     dt = time.time() - t0
-    frames = float(mask.sum()) * iters
+    frames = float(mask.sum()) * outer * inner
     return frames / dt, float(elbo)
 
 

@@ -119,3 +119,19 @@ def test_supervised_pipeline(workdir, tmp_path):
     assert len(lines) == 4
     symbols = set(lines[0].split()[1:])
     assert symbols <= {"a", "b", "c"}
+
+
+def test_shmm_pipeline(workdir, tmp_path):
+    """shmm train on a trained phone loop (subspace alternation)."""
+    root = workdir
+    exp = tmp_path / "shmm"
+    assert cli([
+        "shmm", "train", str(root / "exp" / "final.mdl"),
+        str(root / "feats.npz"), str(exp),
+        "--embed-dim", "2", "--outer-iters", "2", "--inner-iters", "50",
+    ]) == 0
+    assert (exp / "final.mdl").exists() and (exp / "gsm.mdl").exists()
+    from beer_tpu.utils import load_model
+
+    gsm = load_model(exp / "gsm.mdl")
+    assert gsm.e_mean.shape[0] == 4  # n_units from the aud fixture config

@@ -53,6 +53,7 @@ def test_gsm_learns_units(rng):
     assert np.isfinite(elbos).all()
     assert np.mean(elbos[-50:]) > np.mean(elbos[:50]) + 100.0
     mu_est, lam_est = map(np.asarray, gsm.emission_expectations())
+    mu_est, lam_est = mu_est[:, 0], lam_est[:, 0]  # P_states = 1
     np.testing.assert_allclose(mu_est, mus, atol=0.25)
     # precisions in the right ballpark (log-scale agreement)
     np.testing.assert_allclose(np.log(lam_est), np.log(lams), atol=0.6)
@@ -75,3 +76,53 @@ def test_kl_zero_at_prior():
         w_mean=jnp.zeros_like(gsm.w_mean), w_logvar=jnp.zeros_like(gsm.w_logvar),
     )
     np.testing.assert_allclose(float(gsm.kl_div_posterior_prior()), 0.0, atol=1e-6)
+
+
+def test_shmm_bridge_roundtrip(rng):
+    """Phone-loop -> unit stats -> GSM -> inject back -> loop still works."""
+    import beer_tpu
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.models.gsm import accumulate_unit_stats, apply_to_phoneloop
+    from beer_tpu.vbi import vb_step
+
+    d, n_units, spp = 3, 4, 2
+    centers = rng.normal(size=(n_units, d)) * 3.0
+    data = np.zeros((8, 40, d)); mask = np.ones((8, 40))
+    for i in range(8):
+        t = 0
+        while t < 40:
+            ph = int(rng.integers(n_units)); dwell = min(int(rng.integers(4, 9)), 40 - t)
+            data[i, t:t+dwell] = centers[ph] + 0.4 * rng.normal(size=(dwell, d))
+            t += dwell
+    flat = data.reshape(-1, d)
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(flat.mean(0)), jnp.asarray(np.diag(flat.var(0))),
+        size=n_units * spp, cov_type="diagonal", noise_std=1.0,
+        key=jax.random.PRNGKey(0),
+    )
+    loop = PhoneLoop.create(n_units, spp, nset, dtype=jnp.float64)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    for _ in range(10):
+        _, loop = jax.jit(vb_step)(loop, x, mask=m)
+
+    stats, counts = accumulate_unit_stats(loop, x, m)
+    assert stats.shape == (n_units, spp, 4 * d)
+    np.testing.assert_allclose(float(counts.sum()), float(m.sum()), rtol=1e-6)
+
+    gsm = GSM.create(n_units, 2, d, states_per_unit=spp,
+                     key=jax.random.PRNGKey(1), dtype=jnp.float64)
+    gsm, elbos = _train(gsm, np.asarray(stats), np.asarray(counts), iters=400)
+    assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
+
+    loop2 = apply_to_phoneloop(gsm, loop)
+    elbo, _ = jax.jit(vb_step)(loop2, x, mask=m)
+    assert np.isfinite(float(elbo))
+    # subspace emissions should be close to the loop's learned means
+    mu_gsm, _ = loop2.modelset.means_precisions.family.to_std(
+        loop2.modelset.means_precisions.posterior
+    )[:2]
+    mu_loop = loop.modelset.means()
+    err = np.abs(np.asarray(mu_gsm) - np.asarray(mu_loop))
+    # only compare states with meaningful occupancy
+    occ = np.asarray(counts).reshape(-1)
+    assert np.median(err[occ > 20]) < 0.5
