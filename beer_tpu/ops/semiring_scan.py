@@ -54,9 +54,12 @@ def forward(
     log_init: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched forward recursion.
+    """Batched forward recursion (log-carry variant).
 
-    Returns (log_alpha (B, T, S), final carry (B, S)).
+    Returns (log_alpha (B, T, S), final carry (B, S)).  The scaled
+    variant :func:`forward_scaled` is the fast path used by
+    :func:`forward_backward`; this one is kept as the readable reference
+    (tests assert they match).
     """
     b, t_len, s = llh.shape
     if mask is None:
@@ -137,6 +140,67 @@ def backward(
     return jnp.concatenate([jnp.swapaxes(betas, 0, 1), beta_last[:, None]], axis=1)
 
 
+def _scaled_pass(e_llh, trans, init_vec, mask, reverse: bool):
+    """Shared scaled recursion: carries normalized probabilities + log-scale.
+
+    The classic scaled forward/backward: per step one (B, S) @ (S, S)
+    matmul, a row-sum, and a single log on the (B,) normalizer — the
+    per-element exp/log of the log-domain step are hoisted out of the
+    scan entirely (exp(llh) precomputed, log taken once on the outputs).
+    """
+    b, t_len, s = e_llh.shape
+    tiny = jnp.finfo(e_llh.dtype).tiny
+    batched = trans.ndim == 3
+
+    if reverse:
+        prob0 = init_vec  # unnormalized final vector (already exp'd)
+    else:
+        prob0 = init_vec * e_llh[:, 0]
+    norm0 = jnp.maximum(prob0.sum(-1, keepdims=True), tiny)
+    carry0 = (prob0 / norm0, jnp.log(norm0[..., 0]))
+
+    def step(carry, inp):
+        prob, logc = carry
+        e_t, m_t = inp
+        if reverse:
+            v = prob * e_t
+            if batched:
+                raw = jnp.einsum("bs,bst->bt", v,
+                                 jnp.swapaxes(trans, -1, -2),
+                                 precision=jax.lax.Precision.HIGHEST)
+            else:
+                raw = jnp.matmul(v, trans.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+        else:
+            if batched:
+                raw = jnp.einsum("bs,bst->bt", prob, trans,
+                                 precision=jax.lax.Precision.HIGHEST)
+            else:
+                raw = jnp.matmul(prob, trans,
+                                 precision=jax.lax.Precision.HIGHEST)
+            raw = raw * e_t
+        norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+        new = (raw / norm, logc + jnp.log(norm[..., 0]))
+        prob_out = m_t * new[0] + (1 - m_t) * prob
+        logc_out = m_t[..., 0] * new[1] + (1 - m_t[..., 0]) * logc
+        return (prob_out, logc_out), (prob_out, logc_out)
+
+    xs = (
+        jnp.swapaxes(e_llh[:, 1:], 0, 1),
+        jnp.swapaxes(mask[:, 1:, None], 0, 1),
+    )
+    carry, (probs, logcs) = jax.lax.scan(step, carry0, xs, reverse=reverse)
+    if reverse:
+        probs = jnp.concatenate([probs, carry0[0][None]], axis=0)
+        logcs = jnp.concatenate([logcs, carry0[1][None]], axis=0)
+    else:
+        probs = jnp.concatenate([carry0[0][None], probs], axis=0)
+        logcs = jnp.concatenate([carry0[1][None], logcs], axis=0)
+    probs = jnp.swapaxes(probs, 0, 1)          # (B, T, S)
+    logcs = jnp.swapaxes(logcs, 0, 1)          # (B, T)
+    return probs, logcs, carry
+
+
 def forward_backward(
     llh: jnp.ndarray,
     log_trans: jnp.ndarray,
@@ -144,14 +208,45 @@ def forward_backward(
     log_final: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
 ) -> FBResult:
-    """Full smoothing pass: α, β, log Z, and per-frame state posteriors."""
+    """Full smoothing pass: α, β, log Z, and per-frame state posteriors.
+
+    Uses the scaled recursion (probability carries, one log per step on
+    the normalizer); log-space α/β for downstream ξ-counts are recovered
+    with a single vectorized log over the stored scan outputs.
+    """
     b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
-    log_alpha, alpha_last = forward(llh, log_trans, log_init, mask)
-    log_beta = backward(llh, log_trans, log_final, mask)
-    log_z = jax.scipy.special.logsumexp(
-        alpha_last + jnp.broadcast_to(log_final, alpha_last.shape), axis=-1
+    tiny = jnp.finfo(llh.dtype).tiny
+    # exp(llh - per-frame max): hoisted out of the scans, one shot over T
+    m_llh = jnp.max(llh, axis=-1, keepdims=True)
+    e_llh = jnp.exp(llh - m_llh) * mask[..., None] + (1 - mask[..., None]) * 1.0
+    # cumulative per-frame shifts enter the log-scales
+    shift_fwd = jnp.cumsum(m_llh[..., 0] * mask, axis=1)
+
+    trans = jnp.exp(log_trans)
+    init_vec = jnp.broadcast_to(jnp.exp(_clamp(log_init)), (b, s)).astype(llh.dtype)
+    a_probs, a_logcs, (a_last, a_logc_last) = _scaled_pass(
+        e_llh, trans, init_vec, mask, reverse=False
+    )
+    log_alpha = jnp.log(jnp.maximum(a_probs, tiny)) + (
+        a_logcs + shift_fwd
+    )[..., None]
+
+    final_vec = jnp.broadcast_to(jnp.exp(_clamp(log_final)), (b, s)).astype(llh.dtype)
+    # backward pass consumes e_llh at t+1; shift bookkeeping mirrors fwd
+    b_probs, b_logcs, _ = _scaled_pass(
+        e_llh, trans, final_vec, mask, reverse=True
+    )
+    # shift for beta_t: sum of m_llh over (t+1 .. T-1) on valid frames
+    total_shift = shift_fwd[:, -1:]
+    shift_bwd = total_shift - shift_fwd
+    log_beta = jnp.log(jnp.maximum(b_probs, tiny)) + (
+        b_logcs + shift_bwd
+    )[..., None]
+
+    log_z = a_logc_last + shift_fwd[:, -1] + jnp.log(
+        jnp.maximum((a_last * final_vec).sum(-1), tiny)
     )
     log_post = log_alpha + log_beta - log_z[:, None, None]
     posteriors = jnp.exp(_clamp(log_post)) * mask[..., None]
