@@ -150,8 +150,9 @@ class PhoneLoop(DiscreteLatentModel):
         xi = semiring_scan.expected_transition_counts(
             fb.log_alpha, fb.log_beta, cache["llh_states"],
             graph.log_trans, fb.log_z, cache["mask"],
+            rows=self._ends, cols=self._starts,
         )
-        loop_counts = xi[self._ends[:, None], self._starts[None, :]].sum(0)
+        loop_counts = xi.sum(0)
         init_counts = fb.posteriors[:, 0, :][:, self._starts].sum(0)
         return loop_counts + init_counts
 

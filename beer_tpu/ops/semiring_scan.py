@@ -261,6 +261,8 @@ def expected_transition_counts(
     log_z: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
     chunk: int = 16,
+    rows: Optional[jnp.ndarray] = None,
+    cols: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Σ_t ξ_t summed over the batch: E[#transitions i→j], (S, S).
 
@@ -271,12 +273,21 @@ def expected_transition_counts(
     factorizations, which overflow whenever the per-factor argmax pair is
     a forbidden transition.  Memory is bounded by materializing only
     (B, chunk, S, S) at a time inside a ``lax.scan`` over time chunks.
+
+    ``rows``/``cols`` (int arrays) restrict the computation to the
+    sub-block ξ[rows, cols] — e.g. the phone loop only needs the
+    (unit-ends × unit-starts) arcs, U² ≪ S² work.
     """
     b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
     alpha = log_alpha[:, :-1] - log_z[:, None, None]   # (B, T-1, S)
     v = _clamp(llh[:, 1:] + log_beta[:, 1:])           # (B, T-1, S)
+    if rows is not None:
+        alpha = alpha[..., rows]
+        log_trans = log_trans[rows][:, cols]
+        v = v[..., cols]
+        s = None  # shapes now differ per side; body uses array shapes
     m = mask[:, 1:]
     n_steps = t_len - 1
     pad = (-n_steps) % chunk
@@ -285,17 +296,17 @@ def expected_transition_counts(
         v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=_NEG_INF)
         m = jnp.pad(m, ((0, 0), (0, pad)))
     nc = alpha.shape[1] // chunk
-    alpha = alpha.reshape(b, nc, chunk, s)
-    v = v.reshape(b, nc, chunk, s)
+    alpha = alpha.reshape(b, nc, chunk, alpha.shape[-1])
+    v = v.reshape(b, nc, chunk, v.shape[-1])
     m = m.reshape(b, nc, chunk)
 
     def body(acc, xs):
-        a_c, v_c, m_c = xs  # (B, chunk, S), (B, chunk, S), (B, chunk)
+        a_c, v_c, m_c = xs  # (B, chunk, Sr), (B, chunk, Sc), (B, chunk)
         expo = _clamp(a_c[..., :, None] + log_trans + v_c[..., None, :])
         xi = jnp.exp(expo) * m_c[..., None, None]
         return acc + xi.sum((0, 1)), None
 
-    init = jnp.zeros((s, s), llh.dtype)
+    init = jnp.zeros((alpha.shape[-1], v.shape[-1]), llh.dtype)
     acc, _ = jax.lax.scan(
         body,
         init,
