@@ -36,7 +36,7 @@ def make_data():
     return data, mask
 
 
-def bench_beer_tpu(data, mask, outer=4, inner=10):
+def bench_beer_tpu(data, mask, outer=4, inner=40):
     import jax
     import jax.numpy as jnp
 
