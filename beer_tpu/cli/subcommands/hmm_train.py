@@ -23,6 +23,13 @@ def setup(parser):
     parser.add_argument("--lrate", type=float, default=1.0)
     parser.add_argument("--single-device", action="store_true")
     parser.add_argument(
+        "--batch-size", type=int, default=0,
+        help="stochastic VB: train on shuffled minibatches of this many "
+        "utterances (0 = full batch). Statistics are scaled by "
+        "datasize/batch (the reference's datasize convention); use "
+        "--lrate < 1 for stable stochastic updates.",
+    )
+    parser.add_argument(
         "--transcriptions", default=None,
         help="supervised training: 'uttid ph1 ph2 ...' per line; the input "
         "model must be mkphones emissions (BASELINE config 3)",
@@ -47,6 +54,60 @@ def pad_archive(path_or_npz):
         data[i, : len(feats)] = feats
         mask[i, : len(feats)] = 1
     return keys, data, mask
+
+
+def _train_minibatch(args, model, outdir):
+    """Stochastic VB: fixed-shape shuffled minibatches via io.BatchLoader.
+
+    One compile (fixed (B, T_max) shapes), background batch prefetch
+    overlapping device compute, per-epoch checkpoints.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from beer_tpu import io as bio
+    from beer_tpu.utils import MetricsLogger, save_model
+    from beer_tpu.vbi import vb_step
+
+    if args.feats.endswith(".bar"):
+        archive = bio.Archive(args.feats)
+    else:  # convert once next to the npz for mmap'd minibatch reads
+        bar_path = args.feats + ".bar"
+        if not Path(bar_path).exists():
+            bio.convert_npz(args.feats, bar_path)
+        archive = bio.Archive(bar_path)
+    n_utts = len(archive)
+    datasize = float(n_utts)
+    step = jax.jit(
+        lambda m, x, msk: vb_step(
+            m, x, datasize=datasize, lrate=args.lrate, mask=msk
+        )
+    )
+    loader = bio.BatchLoader(archive, args.batch_size, seed=0)
+    logger = MetricsLogger(outdir / "log", stdout=False)
+    for epoch in range(1, args.epochs + 1):
+        t0 = _time.time()
+        total_elbo, total_frames = 0.0, 0.0
+        for data, mask in loader:
+            if data.shape[0] < args.batch_size:  # keep shapes static
+                pad = args.batch_size - data.shape[0]
+                data = np.concatenate([data, np.zeros((pad,) + data.shape[1:],
+                                                      data.dtype)])
+                mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:],
+                                                      mask.dtype)])
+            elbo, model = step(model, jnp.asarray(data), jnp.asarray(mask))
+            total_elbo += float(elbo)
+            total_frames += float(mask.sum())
+        dt = _time.time() - t0
+        print(f"epoch {epoch}: elbo/frame = {total_elbo / max(total_frames,1) / max(n_utts/args.batch_size,1):.6f}")
+        logger.log(epoch, stochastic_elbo=total_elbo,
+                   frames_per_sec=total_frames / dt)
+        save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+    logger.close()
+    save_model(model, outdir / "final.mdl")
+    print(f"wrote {outdir / 'final.mdl'}")
 
 
 def main(args):
@@ -105,6 +166,10 @@ def main(args):
         shutil.copy(args.model + ".phones.json",
                     outdir / "final.mdl.phones.json")
         print(f"wrote {outdir / 'final.mdl'}")
+        return
+
+    if args.batch_size:
+        _train_minibatch(args, model, outdir)
         return
 
     n_dev = len(jax.devices())

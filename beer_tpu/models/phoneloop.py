@@ -135,7 +135,11 @@ class PhoneLoop(DiscreteLatentModel):
         fb = semiring_scan.forward_backward(
             llh_states, graph.log_trans, graph.log_init, graph.log_final, mask
         )
-        return fb.log_z, {
+        log_z = fb.log_z
+        if mask is not None:
+            # fully-padded utterances (minibatch tail padding) contribute 0
+            log_z = log_z * (mask.sum(-1) > 0)
+        return log_z, {
             "posteriors": fb.posteriors,
             "fb": fb,
             "llh_states": llh_states,

@@ -201,6 +201,23 @@ def _scaled_pass(e_llh, trans, init_vec, mask, reverse: bool):
     return probs, logcs, carry
 
 
+def _select_pass(trans):
+    """Pallas fused kernel on TPU (shared graphs); jnp scan elsewhere.
+
+    Per-utterance (B, S, S) transition matrices fall back to the scan —
+    the kernel keeps one (S, S) matrix resident in VMEM.
+    """
+    from beer_tpu.ops import pallas_scan
+
+    if trans.ndim == 2 and pallas_scan.available():
+        def run(e_llh, trans, vec, mask, reverse):
+            fn = pallas_scan.backward_pass if reverse else pallas_scan.forward_pass
+            return fn(e_llh, trans, vec, mask)
+
+        return run
+    return _scaled_pass
+
+
 def forward_backward(
     llh: jnp.ndarray,
     log_trans: jnp.ndarray,
@@ -226,7 +243,8 @@ def forward_backward(
 
     trans = jnp.exp(log_trans)
     init_vec = jnp.broadcast_to(jnp.exp(_clamp(log_init)), (b, s)).astype(llh.dtype)
-    a_probs, a_logcs, (a_last, a_logc_last) = _scaled_pass(
+    run = _select_pass(trans)
+    a_probs, a_logcs, (a_last, a_logc_last) = run(
         e_llh, trans, init_vec, mask, reverse=False
     )
     log_alpha = jnp.log(jnp.maximum(a_probs, tiny)) + (
@@ -235,9 +253,7 @@ def forward_backward(
 
     final_vec = jnp.broadcast_to(jnp.exp(_clamp(log_final)), (b, s)).astype(llh.dtype)
     # backward pass consumes e_llh at t+1; shift bookkeeping mirrors fwd
-    b_probs, b_logcs, _ = _scaled_pass(
-        e_llh, trans, final_vec, mask, reverse=True
-    )
+    b_probs, b_logcs, _ = run(e_llh, trans, final_vec, mask, reverse=True)
     # shift for beta_t: sum of m_llh over (t+1 .. T-1) on valid frames
     total_shift = shift_fwd[:, -1:]
     shift_bwd = total_shift - shift_fwd

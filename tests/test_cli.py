@@ -135,3 +135,16 @@ def test_shmm_pipeline(workdir, tmp_path):
 
     gsm = load_model(exp / "gsm.mdl")
     assert gsm.e_mean.shape[0] == 4  # n_units from the aud fixture config
+
+
+def test_minibatch_training(workdir, tmp_path):
+    """Stochastic VB minibatch path (--batch-size) with .bar conversion."""
+    root = workdir
+    exp = tmp_path / "mb"
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(exp), "--epochs", "3", "--batch-size", "3", "--lrate", "0.5",
+    ]) == 0
+    assert (exp / "final.mdl").exists()
+    # the npz was converted to a native archive for mmap'd minibatches
+    assert (root / "feats.npz.bar").exists()
