@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-B, T, D = 128, 500, 39
+B, T, D = 512, 500, 39
 N_UNITS, STATES_PER_UNIT = 50, 3
 S = N_UNITS * STATES_PER_UNIT
 SEED = 0
@@ -36,7 +36,7 @@ def make_data():
     return data, mask
 
 
-def bench_beer_tpu(data, mask, outer=4, inner=40):
+def bench_beer_tpu(data, mask, outer=4, inner=20):
     import jax
     import jax.numpy as jnp
 
