@@ -121,6 +121,8 @@ class NormalSet(ModelSet):
         mean = jnp.asarray(mean)
         cov = jnp.asarray(cov)
         dim = mean.shape[-1]
+        if cov_type == "shared":  # reference alias for tied full covariance
+            cov_type = "shared_full"
         if key is None:
             key = jax.random.PRNGKey(1)
         noise = noise_std * jax.random.normal(key, (size, dim), mean.dtype)

@@ -1,4 +1,4 @@
-"""Sequence-parallel HMM forward pass (the context-parallel analogue).
+"""Sequence-parallel HMM inference (the context-parallel analogue).
 
 SURVEY.md §5.7 / §2.10: the reference processes one utterance at a time
 in a Python loop; utterances longer than one chip's memory have no story
@@ -18,8 +18,16 @@ Work is O(T·S³/n_dev) per device versus O(T·S²) sequential — the classic
 span/work trade of temporal parallelization; use when T is huge or the
 sequential scan's T-step latency dominates.
 
+The same machinery runs backwards (suffix products with the final vector
+folded in as a column-constant operator), so the full smoothing pass —
+α, β, log Z, posteriors — is available time-sharded
+(:func:`forward_backward_time_sharded`), composable with data parallelism
+on a 2-D (data × seq) mesh (see tests/test_seq_parallel.py and
+``__graft_entry__.dryrun_multichip``).
+
 All functions here run INSIDE ``shard_map`` with ``llh`` sharded on its
-time axis; :func:`make_sharded_forward` builds the wrapped jitted caller.
+time axis; ``make_sharded_forward`` / ``make_sharded_forward_backward``
+build the wrapped jitted callers.
 """
 
 from __future__ import annotations
@@ -88,6 +96,126 @@ def forward_time_sharded(
     full_prefix = _semiring_matmul(excl[:, None], prefix)
     log_alpha = full_prefix[:, :, 0, :]
     return log_alpha, log_alpha[:, -1]
+
+
+def backward_time_sharded(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: jnp.ndarray,
+    axis_name: str,
+):
+    """Distributed backward; returns local log_beta (B, Tl, S).
+
+    Mirror image of :func:`forward_time_sharded`: suffix products of the
+    backward operators N_t[i, j] = log A[i, j] + llh_{t+1}(j), with the
+    final-vector operator folded in as a *column-constant* matrix on the
+    global last step (so every suffix product has constant columns and
+    β_t is any column).  Device-level suffix scan = Hillis-Steele over
+    ppermute rounds from the right.
+    """
+    b, t_local, s = llh.shape
+    n_dev = jax.lax.axis_size(axis_name)
+    dev = jax.lax.axis_index(axis_name)
+    eye = _identity_op(s, llh.dtype)
+
+    # operator at local position t applies between t and t+1: needs llh at
+    # t+1 — shift left across the device boundary with a ppermute.
+    llh_next = jnp.concatenate([llh[:, 1:], llh[:, :1]], axis=1)
+    mask_next = jnp.concatenate([mask[:, 1:], mask[:, :1]], axis=1)
+    first_next = jax.lax.ppermute(
+        llh[:, 0], axis_name, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    first_mask = jax.lax.ppermute(
+        mask[:, 0], axis_name, [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    )
+    llh_next = llh_next.at[:, -1].set(first_next)
+    mask_next = mask_next.at[:, -1].set(first_mask)
+
+    ops = log_trans[None, None] + llh_next[:, :, None, :]
+    ops = jnp.where(mask_next[:, :, None, None] > 0, ops, eye[None, None])
+    # column-constant final operator on the global last step
+    final_op = jnp.broadcast_to(
+        _clamp(log_final)[None, :, None], (b, s, s)
+    ).astype(llh.dtype)
+    is_global_last = dev == n_dev - 1
+    last_op = jnp.where(is_global_last, final_op, ops[:, -1])
+    ops = jnp.concatenate([ops[:, :-1], last_op[:, None]], axis=1)
+
+    # local inclusive suffix products IN ORDER x_t ⊙ x_{t+1} ⊙ …:
+    # associative_scan(reverse=True) combines in reversed order for
+    # non-commutative ops, so run it on transposes ((A⊙B)ᵀ = Bᵀ⊙Aᵀ).
+    ops_t = jnp.swapaxes(ops, -1, -2)
+    suffix_t = jax.lax.associative_scan(
+        _semiring_matmul, ops_t, axis=1, reverse=True
+    )
+    suffix = jnp.swapaxes(suffix_t, -1, -2)
+    block = suffix[:, 0]  # product of this device's chunk
+
+    incl = block
+    shift = 1
+    while shift < n_dev:
+        perm = [(i, (i - shift) % n_dev) for i in range(n_dev)]
+        recv = jax.lax.ppermute(incl, axis_name, perm)
+        incl = jnp.where(dev < n_dev - shift, _semiring_matmul(incl, recv), incl)
+        shift *= 2
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+    excl = jax.lax.ppermute(incl, axis_name, perm)
+    excl = jnp.where(dev == n_dev - 1, eye[None], excl)
+
+    full_suffix = _semiring_matmul(suffix, excl[:, None])
+    return full_suffix[:, :, :, 0]
+
+
+def forward_backward_time_sharded(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: jnp.ndarray,
+    axis_name: str,
+):
+    """Full time-sharded smoothing (runs inside shard_map).
+
+    Returns (log_alpha, log_beta, log_z, posteriors) for the local time
+    chunk — the sequence-parallel equivalent of
+    :func:`beer_tpu.ops.semiring_scan.forward_backward`.
+    """
+    log_alpha, _ = forward_time_sharded(llh, log_trans, log_init, mask, axis_name)
+    log_beta = backward_time_sharded(llh, log_trans, log_final, mask, axis_name)
+    n_dev = jax.lax.axis_size(axis_name)
+    dev = jax.lax.axis_index(axis_name)
+    contrib = jnp.where(
+        dev == n_dev - 1,
+        log_alpha[:, -1] + jnp.broadcast_to(_clamp(log_final), log_alpha[:, -1].shape),
+        _NEG_INF,
+    )
+    final_joint = jax.lax.pmax(contrib, axis_name)
+    log_z = jax.scipy.special.logsumexp(final_joint, axis=-1)
+    log_post = log_alpha + log_beta - log_z[:, None, None]
+    posteriors = jnp.exp(jnp.minimum(log_post, 0.0)) * mask[..., None]
+    return log_alpha, log_beta, log_z, posteriors
+
+
+def make_sharded_forward_backward(mesh: Mesh, axis_name: str = "seq"):
+    """Jitted full smoothing with llh/mask time-sharded over ``axis_name``."""
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(), P(), P(), P(None, axis_name)),
+        out_specs=(
+            P(None, axis_name), P(None, axis_name), P(), P(None, axis_name)
+        ),
+        check_vma=False,
+    )
+    def fn(llh, log_trans, log_init, log_final, mask):
+        return forward_backward_time_sharded(
+            llh, log_trans, log_init, log_final, mask, axis_name
+        )
+
+    return fn
 
 
 def make_sharded_forward(mesh: Mesh, axis_name: str = "seq"):

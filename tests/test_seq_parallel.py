@@ -35,3 +35,73 @@ def test_time_sharded_forward_matches(rng):
             np.asarray(la_sh[i, :ln]), np.asarray(la_ref[i, :ln]), rtol=1e-8
         )
     np.testing.assert_allclose(np.asarray(lz_sh), np.asarray(fb.log_z), rtol=1e-8)
+
+
+def test_time_sharded_forward_backward_matches(rng):
+    b, t_len, s = 2, 64, 4
+    lt, li, lf = random_hmm_params(rng, s)
+    llh = rng.normal(size=(b, t_len, s))
+    lengths = np.array([64, 30])
+    mask = (np.arange(t_len)[None] < lengths[:, None]).astype(np.float64)
+
+    mesh = parallel.make_mesh(axis_name="seq")
+    fn = seq_parallel.make_sharded_forward_backward(mesh)
+    la, lb, lz, post = fn(
+        jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li), jnp.asarray(lf),
+        jnp.asarray(mask),
+    )
+    fb = semiring_scan.forward_backward(
+        jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li), jnp.asarray(lf),
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(lz), np.asarray(fb.log_z), rtol=1e-8)
+    for i, ln in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(lb[i, :ln]), np.asarray(fb.log_beta[i, :ln]), rtol=1e-7,
+            atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(post[i, :ln]), np.asarray(fb.posteriors[i, :ln]),
+            rtol=1e-6, atol=1e-9,
+        )
+
+
+def test_2d_mesh_data_and_time_sharded(rng):
+    """dp x sp: batch sharded over 'data', time over 'seq', one shard_map."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    b, t_len, s = 4, 32, 4
+    lt, li, lf = random_hmm_params(rng, s)
+    llh = rng.normal(size=(b, t_len, s))
+    lengths = np.array([32, 20, 9, 28])
+    mask = (np.arange(t_len)[None] < lengths[:, None]).astype(np.float64)
+
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "seq"))
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("data", "seq"), P(), P(), P(), P("data", "seq")),
+        out_specs=(P("data", "seq"), P("data")),
+        check_vma=False,
+    )
+    def fn(llh, log_trans, log_init, log_final, mask):
+        _, _, log_z, post = seq_parallel.forward_backward_time_sharded(
+            llh, log_trans, log_init, log_final, mask, "seq"
+        )
+        return post, log_z
+
+    post, lz = fn(
+        jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li), jnp.asarray(lf),
+        jnp.asarray(mask),
+    )
+    fb = semiring_scan.forward_backward(
+        jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li), jnp.asarray(lf),
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(lz), np.asarray(fb.log_z), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(post), np.asarray(fb.posteriors), rtol=1e-6, atol=1e-9
+    )

@@ -79,3 +79,25 @@ def test_svae_latent_clusters(rng):
     resps = vae.latent_model.posteriors(q["mean"])
     usage = np.asarray(resps).mean(0)
     assert (usage > 0.1).sum() >= 2, f"only one active component: {usage}"
+
+
+def test_bernoulli_output(rng):
+    """VAE with Bernoulli decoder head on binarized data."""
+    data = (make_data(rng) > 0).astype(np.float32)
+    x = jnp.asarray(data)
+    vae = VAE.create(
+        obs_dim=data.shape[1], latent_dim=2,
+        latent_model=make_latent_prior("normal"),
+        hidden=(16,), output="bernoulli", key=jax.random.PRNGKey(2),
+    )
+    tx = optax.adam(3e-3)
+    opt_state = tx.init(vae.nnet_params)
+    step = make_vae_train_step(tx)
+    key = jax.random.PRNGKey(0)
+    elbos = []
+    for _ in range(100):
+        key, sub = jax.random.split(key)
+        elbo, vae, opt_state = step(vae, opt_state, x, sub)
+        elbos.append(float(elbo) / len(data))
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-10:]) > np.mean(elbos[:10])
