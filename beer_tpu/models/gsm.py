@@ -24,7 +24,7 @@ diagonal Normals trained with optax (the reference's Adam path).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

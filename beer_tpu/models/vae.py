@@ -22,8 +22,6 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 from flax import struct
-from flax.core import FrozenDict
-
 from beer_tpu import nnet
 from beer_tpu.models.basemodel import Model
 
@@ -82,10 +80,6 @@ class VAE(Model):
             latent_dim=latent_dim,
             nsamples=nsamples,
         )
-
-    @property
-    def _out_is_normal(self) -> bool:
-        return True  # Bernoulli heads detected from the decoder output keys
 
     # ------------------------------------------------------------------
     def elbo_and_stats(self, x: jnp.ndarray, key: jax.Array, datasize=None):

@@ -16,8 +16,6 @@ drop-in for the VAE's posterior sampling path.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

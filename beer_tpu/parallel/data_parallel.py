@@ -14,10 +14,7 @@ from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-
-from beer_tpu.vbi import elbo_and_stats
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
