@@ -105,3 +105,34 @@ def test_2d_mesh_data_and_time_sharded(rng):
     np.testing.assert_allclose(
         np.asarray(post), np.asarray(fb.posteriors), rtol=1e-6, atol=1e-9
     )
+
+
+def test_time_sharded_with_sparse_graph(rng):
+    """Phone-loop-like sparse transitions (LOG_ZERO arcs) stay finite."""
+    from beer_tpu.models import graph as graph_mod
+
+    cg = graph_mod.phone_loop_graph(4, 2).compile(jnp.float64)
+    s = cg.n_states
+    b, t_len = 2, 32
+    llh = rng.normal(size=(b, t_len, s))
+    mask = np.ones((b, t_len))
+    mask[1, 20:] = 0
+
+    mesh = parallel.make_mesh(axis_name="seq")
+    fn = seq_parallel.make_sharded_forward_backward(mesh)
+    la, lb, lz, post = fn(
+        jnp.asarray(llh), cg.log_trans, cg.log_init, cg.log_final,
+        jnp.asarray(mask),
+    )
+    fb = semiring_scan.forward_backward(
+        jnp.asarray(llh), cg.log_trans, cg.log_init, cg.log_final,
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(lz), np.asarray(fb.log_z), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(post[0]), np.asarray(fb.posteriors[0]), rtol=1e-6, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(post[1, :20]), np.asarray(fb.posteriors[1, :20]),
+        rtol=1e-6, atol=1e-9,
+    )
