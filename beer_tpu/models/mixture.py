@@ -76,6 +76,10 @@ class Mixture(DiscreteLatentModel):
             modelset=self.modelset.vb_update(acc["modelset"], lrate),
         )
 
+    def mean_field_factorization(self):
+        """Two coordinate-ascent groups: weights, then emissions."""
+        return [["categorical"], ["modelset"]]
+
     # -- convenience ---------------------------------------------------
     def weights(self) -> jnp.ndarray:
         return self.categorical.mean()

@@ -69,6 +69,44 @@ def vb_step(
     return elbo, model.vb_update(acc, lrate)
 
 
+def vb_update_partial(model, acc, group, lrate: float = 1.0):
+    """Apply the conjugate update to the fields in ``group`` only.
+
+    Generic over any model: runs the full update, then reverts fields
+    outside the group — the building block for mean-field coordinate
+    ascent over ``model.mean_field_factorization()`` groups.
+    """
+    updated = model.vb_update(acc, lrate)
+    reverted = {
+        name: getattr(model, name)
+        for name in model.__dataclass_fields__
+        if name not in group
+    }
+    return updated.replace(**reverted) if reverted else updated
+
+
+def vb_step_coordinate(
+    model,
+    data: jnp.ndarray,
+    datasize: Optional[int] = None,
+    lrate: float = 1.0,
+    mask: Optional[jnp.ndarray] = None,
+):
+    """Mean-field coordinate ascent: one E-step + update *per group*.
+
+    The reference's ``VBConjugateOptimizer`` iterates the groups of
+    ``mean_field_factorization()``, refreshing the E-step between group
+    updates; :func:`vb_step` (joint update) is the common fast path —
+    both are valid VB-EM, this one can climb faster per data pass at the
+    cost of extra E-steps.  Returns (last elbo, updated model).
+    """
+    elbo = None
+    for group in model.mean_field_factorization():
+        elbo, acc = elbo_and_stats(model, data, datasize, mask)
+        model = vb_update_partial(model, acc, group, lrate)
+    return elbo, model
+
+
 # ----------------------------------------------------------------------
 # Reference-API veneer
 # ----------------------------------------------------------------------

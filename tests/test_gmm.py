@@ -174,3 +174,19 @@ class TestTorchParity:
                 f"iter {it}: jax {float(elbo_jax)/n:.10f} vs "
                 f"torch {float(elbo_ref)/n:.10f}"
             )
+
+
+def test_coordinate_ascent_monotone(rng):
+    """Mean-field group-sequential updates are also monotone VB-EM."""
+    from beer_tpu.vbi import vb_step_coordinate
+
+    data = make_data(rng)
+    gmm = make_gmm(data)
+    x = jnp.asarray(data)
+    step = jax.jit(vb_step_coordinate)
+    elbos = []
+    for _ in range(10):
+        elbo, gmm = step(gmm, x)
+        elbos.append(float(elbo) / len(data))
+    diffs = np.diff(elbos)
+    assert np.all(diffs > -1e-8), f"ELBO decreased: {elbos}"
