@@ -146,21 +146,47 @@ def main(args):
         graphs = transcription_graphs(
             seqs, len(meta["phones"]), meta["states_per_phone"]
         )
-        if ckpt is not None:
-            model = load_model(ckpt)  # full HMM checkpoint (incl. graphs)
-        else:
-            model = HMM.create(graphs, model)  # model holds the emissions
-        step = jax.jit(
-            lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)
-        )
-        x, m = jnp.asarray(data), jnp.asarray(mask)
+        n_dev = len(jax.devices())
         n_frames = float(mask.sum())
-        for epoch in range(start_epoch + 1, args.epochs + 1):
-            elbo, model = step(model, x, m)
-            print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
-            save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+        if n_dev > 1 and not args.single_device:
+            # data-parallel supervised: graphs shard with the batch
+            emissions = load_model(ckpt) if ckpt is not None else model
+            mesh = parallel.make_mesh()
+            data, valid = parallel.shard_batch(data, n_dev)
+            mask, _ = parallel.shard_batch(mask, n_dev)
+            mask = mask * valid[:, None]
+            pad = data.shape[0] - len(seqs)
+            if pad:  # replicate a graph for padded (zero-mask) utterances
+                graphs = jax.tree.map(
+                    lambda a: jnp.concatenate(
+                        [a, jnp.repeat(a[:1], pad, axis=0)]
+                    ) if hasattr(a, "ndim") and a.ndim and a.shape[0] == len(seqs) else a,
+                    graphs,
+                )
+            step = parallel.make_supervised_vb_train_step(mesh, lrate=args.lrate)
+            x, m = jnp.asarray(data), jnp.asarray(mask)
+            print(f"supervised data-parallel over {n_dev} devices")
+            for epoch in range(start_epoch + 1, args.epochs + 1):
+                elbo, emissions = step(emissions, graphs, x, m)
+                print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
+                save_model(emissions, outdir / f"epoch{epoch:04d}.mdl")
+            final_emissions = emissions
+        else:
+            if ckpt is not None:
+                model = load_model(ckpt)  # full HMM checkpoint (incl. graphs)
+            else:
+                model = HMM.create(graphs, model)  # model holds the emissions
+            step = jax.jit(
+                lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)
+            )
+            x, m = jnp.asarray(data), jnp.asarray(mask)
+            for epoch in range(start_epoch + 1, args.epochs + 1):
+                elbo, model = step(model, x, m)
+                print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
+                save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+            final_emissions = model.modelset
         # final artifact = the trained *emissions* (graph is per-corpus)
-        save_model(model.modelset, outdir / "final.mdl")
+        save_model(final_emissions, outdir / "final.mdl")
         import shutil
 
         shutil.copy(args.model + ".phones.json",

@@ -16,6 +16,7 @@ stay identical (SURVEY §5.8).
 from beer_tpu.parallel.data_parallel import (
     data_parallel_elbo_and_stats,
     make_mesh,
+    make_supervised_vb_train_step,
     make_vb_train_step,
     shard_batch,
 )
@@ -23,6 +24,7 @@ from beer_tpu.parallel.data_parallel import (
 __all__ = [
     "make_mesh",
     "make_vb_train_step",
+    "make_supervised_vb_train_step",
     "data_parallel_elbo_and_stats",
     "shard_batch",
 ]

@@ -103,3 +103,39 @@ def make_vb_train_step(
         return elbo, new_model
 
     return step
+
+
+def make_supervised_vb_train_step(
+    mesh: Mesh,
+    axis_name: str = "data",
+    lrate: float = 1.0,
+):
+    """Data-parallel supervised training with per-utterance graphs.
+
+    The transcription graphs (batched CompiledGraph arrays) shard with
+    the batch while the emission parameters stay replicated; the psum of
+    the statistics pytree is unchanged.  Usage::
+
+        step = make_supervised_vb_train_step(mesh)
+        elbo, emissions = step(emissions, graphs, x, mask)
+
+    where ``graphs = transcription_graphs(...)`` with a leading batch
+    axis divisible by the mesh size.
+    """
+    from beer_tpu.models.hmm import HMM
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(emissions, graphs, x, mask):
+        model = HMM(graph=graphs, modelset=emissions)
+        elbo, acc = data_parallel_elbo_and_stats(model, x, mask, axis_name)
+        new_model = model.vb_update(acc, lrate)
+        return elbo, new_model.modelset
+
+    return step

@@ -116,3 +116,55 @@ def test_gmm_dp(rng):
     np.testing.assert_allclose(float(llh_dp), float(llh.sum()), rtol=1e-10)
     for a, b in zip(jax.tree.leaves(acc_dp), jax.tree.leaves(acc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+def test_supervised_dp_matches_single_device(rng):
+    """Per-utterance transcription graphs sharded with the batch."""
+    from beer_tpu.models.graph import transcription_graphs
+    from beer_tpu.models.hmm import HMM
+    from beer_tpu.models.mixture import MixtureSet
+
+    n_phones, states, d = 3, 2, 2
+    transcriptions = [
+        list(rng.integers(n_phones, size=int(rng.integers(2, 5))))
+        for _ in range(8)
+    ]
+    datas = []
+    base = rng.normal(size=(n_phones * states, d)) * 3.0
+    for phones in transcriptions:
+        frames = []
+        for ph in phones:
+            for st in range(states):
+                dwell = int(rng.integers(3, 6))
+                frames.append(base[ph * states + st] + 0.3 * rng.normal(size=(dwell, d)))
+        datas.append(np.concatenate(frames))
+    t_max = max(map(len, datas))
+    data = np.zeros((8, t_max, d))
+    mask = np.zeros((8, t_max))
+    for i, seq in enumerate(datas):
+        data[i, : len(seq)] = seq
+        mask[i, : len(seq)] = 1
+
+    graphs = transcription_graphs(transcriptions, n_phones, states, dtype=jnp.float64)
+    flat = data.reshape(-1, d)[mask.reshape(-1) > 0]
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(flat.mean(0)), jnp.asarray(np.cov(flat.T)),
+        size=n_phones * states * 2, cov_type="diagonal", noise_std=1.0,
+        key=jax.random.PRNGKey(1),
+    )
+    emissions = MixtureSet.create(nset, nmix=n_phones * states)
+
+    mesh = parallel.make_mesh()
+    step = parallel.make_supervised_vb_train_step(mesh)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+
+    em_dp = emissions
+    hmm_single = HMM.create(graphs, emissions)
+    for it in range(3):
+        elbo_dp, em_dp = step(em_dp, graphs, x, m)
+        elbo_single, hmm_single = vb_step(hmm_single, x, mask=m)
+        np.testing.assert_allclose(
+            float(elbo_dp), float(elbo_single), rtol=1e-9, err_msg=f"iter {it}"
+        )
+    for a, b in zip(jax.tree.leaves(em_dp), jax.tree.leaves(hmm_single.modelset)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
