@@ -264,8 +264,11 @@ def forward_backward(
     log_z = a_logc_last + shift_fwd[:, -1] + jnp.log(
         jnp.maximum((a_last * final_vec).sum(-1), tiny)
     )
-    log_post = log_alpha + log_beta - log_z[:, None, None]
-    posteriors = jnp.exp(_clamp(log_post)) * mask[..., None]
+    # Per-frame softmax: γ_t ∝ α_t·β_t normalized over states.  Exact in
+    # exact arithmetic and — unlike exp(α+β−logZ) — immune to the
+    # probability floor of the scaled passes (floored states sit ~e^-87
+    # below the per-frame max and softmax to ~0 instead of overflowing).
+    posteriors = jax.nn.softmax(log_alpha + log_beta, axis=-1) * mask[..., None]
     return FBResult(log_alpha, log_beta, log_z, posteriors)
 
 
@@ -284,51 +287,43 @@ def expected_transition_counts(
 
     ξ_t(i, j) = exp(α_t(i) + log A(i, j) + llh_{t+1}(j) + β_{t+1}(j) − log Z).
 
-    Every term is a probability (≤ 1), so summing the *exponentiated*
-    expression directly is overflow-free — unlike shifted outer-product
-    factorizations, which overflow whenever the per-factor argmax pair is
-    a forbidden transition.  Memory is bounded by materializing only
-    (B, chunk, S, S) at a time inside a ``lax.scan`` over time chunks.
+    Computed from *per-frame-normalized* α and (llh+β) factors with the
+    exact per-frame normalizer Σ_ij (a much cheaper matvec), so the
+    result is independent of any absolute scale/floor the recursions
+    carry and no exponential can overflow:
 
-    ``rows``/``cols`` (int arrays) restrict the computation to the
-    sub-block ξ[rows, cols] — e.g. the phone loop only needs the
-    (unit-ends × unit-starts) arcs, U² ≪ S² work.
+        ξ_t = outer(u_t, w_t) ⊙ A / (u_tᵀ A w_t),  u, w per-frame softmaxed.
+
+    The accumulation over (b, t) is one einsum (MXU contraction); no
+    (T, S, S) tensor is ever materialized.
+
+    ``rows``/``cols`` (int arrays) restrict the *output* to the sub-block
+    ξ[rows, cols] — e.g. the phone loop only needs the (unit-ends ×
+    unit-starts) arcs — while the normalizer still runs over all arcs.
     """
+    del chunk  # kept for API compatibility; no longer needed
     b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
-    alpha = log_alpha[:, :-1] - log_z[:, None, None]   # (B, T-1, S)
+    alpha = log_alpha[:, :-1]                          # (B, T-1, S)
     v = _clamp(llh[:, 1:] + log_beta[:, 1:])           # (B, T-1, S)
-    if rows is not None:
-        alpha = alpha[..., rows]
-        log_trans = log_trans[rows][:, cols]
-        v = v[..., cols]
-        s = None  # shapes now differ per side; body uses array shapes
-    m = mask[:, 1:]
-    n_steps = t_len - 1
-    pad = (-n_steps) % chunk
-    if pad:
-        alpha = jnp.pad(alpha, ((0, 0), (0, pad), (0, 0)), constant_values=_NEG_INF)
-        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)), constant_values=_NEG_INF)
-        m = jnp.pad(m, ((0, 0), (0, pad)))
-    nc = alpha.shape[1] // chunk
-    alpha = alpha.reshape(b, nc, chunk, alpha.shape[-1])
-    v = v.reshape(b, nc, chunk, v.shape[-1])
-    m = m.reshape(b, nc, chunk)
-
-    def body(acc, xs):
-        a_c, v_c, m_c = xs  # (B, chunk, Sr), (B, chunk, Sc), (B, chunk)
-        expo = _clamp(a_c[..., :, None] + log_trans + v_c[..., None, :])
-        xi = jnp.exp(expo) * m_c[..., None, None]
-        return acc + xi.sum((0, 1)), None
-
-    init = jnp.zeros((alpha.shape[-1], v.shape[-1]), llh.dtype)
-    acc, _ = jax.lax.scan(
-        body,
-        init,
-        (jnp.swapaxes(alpha, 0, 1), jnp.swapaxes(v, 0, 1), jnp.swapaxes(m, 0, 1)),
+    u = jax.nn.softmax(alpha, axis=-1)
+    w = jax.nn.softmax(v, axis=-1)
+    trans_prob = jnp.exp(log_trans)
+    denom = jnp.einsum(
+        "bti,ij,btj->bt", u, trans_prob, w,
+        precision=jax.lax.Precision.HIGHEST,
     )
-    return acc
+    weight = jnp.where(denom > 1e-30, mask[:, 1:] / jnp.maximum(denom, 1e-30), 0.0)
+    if rows is not None:
+        u = u[..., rows]
+        w = w[..., cols]
+        trans_prob = trans_prob[rows][:, cols]
+    outer = jnp.einsum(
+        "bti,btj,bt->ij", u, w, weight,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return outer * trans_prob
 
 
 # ----------------------------------------------------------------------

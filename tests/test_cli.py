@@ -148,3 +148,13 @@ def test_minibatch_training(workdir, tmp_path):
     assert (exp / "final.mdl").exists()
     # the npz was converted to a native archive for mmap'd minibatches
     assert (root / "feats.npz.bar").exists()
+
+
+def test_dataset_create_from_directory(workdir, tmp_path):
+    """dataset create accepts a directory of audio files."""
+    root = workdir
+    out = tmp_path / "dir_manifest.json"
+    assert cli(["dataset", "create", str(root / "audio"), str(out)]) == 0
+    manifest = json.loads(out.read_text())
+    assert len(manifest["utterances"]) == 4
+    assert all(k.startswith("utt") for k in manifest["utterances"])

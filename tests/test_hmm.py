@@ -263,3 +263,31 @@ class TestHMMTraining:
             ln = int(mask[i].sum())
             assert np.all(np.diff(paths[i, :ln]) >= 0)
             assert paths[i, 0] == 0 and paths[i, ln - 1] == 2
+
+
+def test_extreme_llh_magnitudes_stay_finite(rng):
+    """Regression: poorly-matched models give llh ~ -2000/frame; the
+    scaled-pass probability floor must not poison posteriors/xi-counts
+    (seen as NaN stats on real fbank features, f32)."""
+    t_len, s = 120, 6
+    lt, li, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(2, t_len, s)) * 200 - 1500).astype(np.float32)
+    mask = np.ones((2, t_len), np.float32)
+    mask[1, 80:] = 0
+    fb = semiring_scan.forward_backward(
+        jnp.asarray(llh), jnp.asarray(lt.astype(np.float32)),
+        jnp.asarray(li.astype(np.float32)), jnp.asarray(lf.astype(np.float32)),
+        jnp.asarray(mask),
+    )
+    assert np.isfinite(np.asarray(fb.log_z)).all()
+    post = np.asarray(fb.posteriors)
+    assert np.isfinite(post).all()
+    np.testing.assert_allclose(post[0].sum(-1), 1.0, rtol=1e-5)
+    xi = semiring_scan.expected_transition_counts(
+        fb.log_alpha, fb.log_beta, jnp.asarray(llh),
+        jnp.asarray(lt.astype(np.float32)), fb.log_z, jnp.asarray(mask),
+    )
+    xi = np.asarray(xi)
+    assert np.isfinite(xi).all() and (xi >= 0).all()
+    # total transition mass = number of valid transitions
+    np.testing.assert_allclose(xi.sum(), (mask[:, 1:]).sum(), rtol=1e-4)
