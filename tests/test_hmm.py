@@ -291,3 +291,26 @@ def test_extreme_llh_magnitudes_stay_finite(rng):
     assert np.isfinite(xi).all() and (xi >= 0).all()
     # total transition mass = number of valid transitions
     np.testing.assert_allclose(xi.sum(), (mask[:, 1:]).sum(), rtol=1e-4)
+
+
+def test_xi_block_restriction_matches_full(rng):
+    """rows/cols-restricted xi equals the corresponding full sub-block."""
+    t_len, s = 15, 5
+    lt, li, lf = random_hmm_params(rng, s)
+    llh = rng.normal(size=(2, t_len, s))
+    fb = semiring_scan.forward_backward(
+        jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li), jnp.asarray(lf)
+    )
+    full = semiring_scan.expected_transition_counts(
+        fb.log_alpha, fb.log_beta, jnp.asarray(llh), jnp.asarray(lt), fb.log_z
+    )
+    rows = jnp.asarray([0, 2, 4])
+    cols = jnp.asarray([1, 3])
+    block = semiring_scan.expected_transition_counts(
+        fb.log_alpha, fb.log_beta, jnp.asarray(llh), jnp.asarray(lt), fb.log_z,
+        rows=rows, cols=cols,
+    )
+    np.testing.assert_allclose(
+        np.asarray(block), np.asarray(full)[np.ix_([0, 2, 4], [1, 3])],
+        rtol=1e-8,
+    )
