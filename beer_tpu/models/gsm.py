@@ -165,15 +165,21 @@ class GSM:
 
 @struct.dataclass
 class HierarchicalGSM(GSM):
-    """H-SHMM: adds a per-language embedding entering the affine map.
+    """H-SHMM: per-language embeddings entering the shared affine map.
 
-    η(e_u, l) = W·[e_u; l; 1] — the language embedding ``l`` shifts every
-    unit of that language in parameter space (ICASSP'21 H-SHMM).
+    η(e_u, l_{g(u)}) = W·[e_u; l_{g(u)}; 1] — each unit u belongs to a
+    language g(u); the language embedding shifts all of that language's
+    units in parameter space while the subspace W is shared across
+    languages (ICASSP'21 H-SHMM: multilingual AUD with a universal
+    phonetic subspace).
     """
 
-    lang_mean: jnp.ndarray = struct.field(default=None)
+    lang_mean: jnp.ndarray = struct.field(default=None)     # (L, lang_dim)
     lang_logvar: jnp.ndarray = struct.field(default=None)
+    # static unit→language map (tuple: hashable, not a differentiable leaf)
+    unit_lang: tuple = struct.field(pytree_node=False, default=())
     lang_dim: int = struct.field(pytree_node=False, default=2)
+    n_langs: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def create(
@@ -182,23 +188,33 @@ class HierarchicalGSM(GSM):
         embed_dim: int,
         obs_dim: int,
         lang_dim: int = 2,
+        n_langs: int = 1,
+        unit_lang=None,
+        states_per_unit: int = 1,
         key: Optional[jax.Array] = None,
         dtype=jnp.float32,
     ) -> "HierarchicalGSM":
+        """``unit_lang`` maps each unit to its language (default: all 0)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2, k3 = jax.random.split(key, 3)
+        out = 2 * obs_dim * states_per_unit
+        if unit_lang is None:
+            unit_lang = (0,) * n_units
         return cls(
             e_mean=0.1 * jax.random.normal(k1, (n_units, embed_dim), dtype),
             e_logvar=jnp.full((n_units, embed_dim), -2.0, dtype),
             w_mean=0.1
-            * jax.random.normal(k2, (embed_dim + lang_dim + 1, 2 * obs_dim), dtype),
-            w_logvar=jnp.full((embed_dim + lang_dim + 1, 2 * obs_dim), -4.0, dtype),
-            lang_mean=0.1 * jax.random.normal(k3, (lang_dim,), dtype),
-            lang_logvar=jnp.full((lang_dim,), -2.0, dtype),
+            * jax.random.normal(k2, (embed_dim + lang_dim + 1, out), dtype),
+            w_logvar=jnp.full((embed_dim + lang_dim + 1, out), -4.0, dtype),
+            lang_mean=0.1 * jax.random.normal(k3, (n_langs, lang_dim), dtype),
+            lang_logvar=jnp.full((n_langs, lang_dim), -2.0, dtype),
+            unit_lang=tuple(int(u) for u in unit_lang),
             n_units=n_units,
             embed_dim=embed_dim,
             obs_dim=obs_dim,
+            states_per_unit=states_per_unit,
             lang_dim=lang_dim,
+            n_langs=n_langs,
         )
 
     def _sample_params(self, key, nsamples: int):
@@ -215,11 +231,10 @@ class HierarchicalGSM(GSM):
         e = self.e_mean[None] + jnp.exp(0.5 * self.e_logvar)[None] * eps_e
         w = self.w_mean[None] + jnp.exp(0.5 * self.w_logvar)[None] * eps_w
         lang = self.lang_mean[None] + jnp.exp(0.5 * self.lang_logvar)[None] * eps_l
-        # concatenate the language embedding onto every unit embedding
-        lang_tiled = jnp.broadcast_to(
-            lang[:, None, :], (nsamples, self.n_units, self.lang_dim)
-        )
-        return jnp.concatenate([e, lang_tiled], axis=-1), w
+        # each unit gets its own language's embedding
+        idx = jnp.asarray(self.unit_lang, jnp.int32)
+        lang_per_unit = lang[:, idx, :]              # (S, U, lang_dim)
+        return jnp.concatenate([e, lang_per_unit], axis=-1), w
 
     def kl_div_posterior_prior(self) -> jnp.ndarray:
         def kl_diag(mean, logvar):

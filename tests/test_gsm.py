@@ -69,6 +69,33 @@ def test_hierarchical_gsm_runs(rng):
     assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
 
 
+def test_hierarchical_gsm_multilingual(rng):
+    """Two languages sharing a subspace: a per-language mean offset must be
+    absorbed by the language embeddings (H-SHMM's core mechanism)."""
+    n_units, d = 8, 4
+    stats, counts, mus, _ = make_unit_stats(rng, n_units=n_units, d=d)
+    # units 0..3 = language A, 4..7 = language B with a constant shift
+    shift = np.array([3.0, -3.0, 2.0, -2.0], np.float32)
+    stats = stats.copy()
+    for u in range(4, 8):
+        # shift the accumulated first moments: sum_x' = sum_x + c*shift
+        c = counts[u]
+        sx = stats[u, d:2*d] + c * shift
+        sq = stats[u, :d] - c * (shift * (stats[u, d:2*d] / c) + 0.5 * shift**2)
+        stats[u, :d], stats[u, d:2*d] = sq, sx
+    unit_lang = np.array([0]*4 + [1]*4)
+    gsm = HierarchicalGSM.create(
+        n_units=n_units, embed_dim=2, obs_dim=d, lang_dim=2, n_langs=2,
+        unit_lang=unit_lang, key=jax.random.PRNGKey(3),
+    )
+    gsm, elbos = _train(gsm, stats, counts, iters=600)
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
+    # the two language embeddings must have separated
+    lang = np.asarray(gsm.lang_mean)
+    assert np.linalg.norm(lang[0] - lang[1]) > 0.5
+
+
 def test_kl_zero_at_prior():
     gsm = GSM.create(3, 2, 2)
     gsm = gsm.replace(
