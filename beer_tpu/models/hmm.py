@@ -6,9 +6,13 @@ SURVEY.md §3.2 for the reference call stack.  The E-step here is the
 batched scan of :mod:`beer_tpu.ops.semiring_scan` (whole padded batch in
 one XLA program) instead of a per-utterance Python loop.
 
-As in the reference, transition probabilities are fixed by the compiled
-graph; Bayesian treatment of the *unit* transitions of a phone loop is
-layered on by :class:`beer_tpu.models.phoneloop.PhoneLoop`.
+Transition probabilities may be fixed by the compiled graph or given a
+per-row Dirichlet treatment over each state's *allowed* arcs
+(``learn_transitions=True``): the E-step then uses E[log A] (digammas)
+and ``accumulate`` adds the expected ξ transition counts — the
+reference's "pairwise posteriors → Dirichlet stats per state" path.
+Bayesian treatment of the *unit* transitions of a phone loop is layered
+on by :class:`beer_tpu.models.phoneloop.PhoneLoop`.
 
 Conventions: data (B, T, D) + mask (B, T); single sequences (T, D) are
 auto-promoted.  ``infer`` returns per-*sequence* expected
@@ -23,9 +27,10 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.scipy.special import digamma, gammaln
 
 from beer_tpu.models.basemodel import DiscreteLatentModel
-from beer_tpu.models.graph import CompiledGraph, Graph
+from beer_tpu.models.graph import LOG_ZERO, CompiledGraph, Graph
 from beer_tpu.ops import semiring_scan
 
 
@@ -39,12 +44,64 @@ class HMM(DiscreteLatentModel):
 
     graph: CompiledGraph
     modelset: Any
+    # per-row Dirichlet over allowed arcs (None = fixed graph transitions)
+    trans_alpha_prior: Optional[jnp.ndarray] = None   # (S, S), 0 = forbidden
+    trans_alpha_post: Optional[jnp.ndarray] = None
 
     @classmethod
-    def create(cls, graph, modelset) -> "HMM":
+    def create(
+        cls, graph, modelset,
+        learn_transitions: bool = False,
+        trans_prior_strength: float = 1.0,
+    ) -> "HMM":
         if isinstance(graph, Graph):
             graph = graph.compile()
-        return cls(graph=graph, modelset=modelset)
+        prior = post = None
+        if learn_transitions:
+            # prior concentration ∝ the graph's arc probabilities (scaled),
+            # zero on forbidden arcs
+            probs = jnp.exp(graph.log_trans)
+            prior = jnp.where(
+                graph.log_trans > LOG_ZERO / 2, trans_prior_strength * probs, 0.0
+            )
+            post = prior
+        return cls(
+            graph=graph, modelset=modelset,
+            trans_alpha_prior=prior, trans_alpha_post=post,
+        )
+
+    # -- Bayesian transitions -------------------------------------------
+    def _effective_log_trans(self) -> jnp.ndarray:
+        if self.trans_alpha_post is None:
+            return self.graph.log_trans
+        a = self.trans_alpha_post
+        allowed = self.trans_alpha_prior > 0
+        row_sum = jnp.where(allowed, a, 0.0).sum(-1, keepdims=True)
+        e_log = digamma(jnp.where(allowed, a, 1.0)) - digamma(
+            jnp.maximum(row_sum, 1e-30)
+        )
+        return jnp.where(allowed, e_log, LOG_ZERO)
+
+    def _trans_kl(self) -> jnp.ndarray:
+        """Σ_rows KL(Dir(α_post)‖Dir(α_prior)) over each row's allowed arcs."""
+        if self.trans_alpha_post is None:
+            return jnp.asarray(0.0)
+        a_q, a_p = self.trans_alpha_post, self.trans_alpha_prior
+        allowed = a_p > 0
+        aq = jnp.where(allowed, a_q, 1.0)
+        ap = jnp.where(allowed, a_p, 1.0)
+        q_sum = jnp.where(allowed, a_q, 0.0).sum(-1)
+        p_sum = jnp.where(allowed, a_p, 0.0).sum(-1)
+        has_arcs = q_sum > 0
+        dig = digamma(aq) - digamma(jnp.maximum(q_sum, 1e-30))[:, None]
+        per_row = (
+            gammaln(jnp.maximum(q_sum, 1e-30))
+            - jnp.where(allowed, gammaln(aq), 0.0).sum(-1)
+            - gammaln(jnp.maximum(p_sum, 1e-30))
+            + jnp.where(allowed, gammaln(ap), 0.0).sum(-1)
+            + (jnp.where(allowed, (a_q - a_p) * dig, 0.0)).sum(-1)
+        )
+        return jnp.where(has_arcs, per_row, 0.0).sum()
 
     # ------------------------------------------------------------------
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
@@ -56,9 +113,10 @@ class HMM(DiscreteLatentModel):
 
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         llh_states = self._state_llh(stats)
+        log_trans = self._effective_log_trans()
         fb = semiring_scan.forward_backward(
             llh_states,
-            self.graph.log_trans,
+            log_trans,
             self.graph.log_init,
             self.graph.log_final,
             mask,
@@ -72,6 +130,7 @@ class HMM(DiscreteLatentModel):
             "fb": fb,
             "llh_states": llh_states,
             "mask": mask,
+            "log_trans": log_trans,
         }
 
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
@@ -84,13 +143,30 @@ class HMM(DiscreteLatentModel):
             pdf_post = post @ one_hot  # (B, T, n_pdfs)
         flat_resps = pdf_post.reshape(-1, self.graph.n_pdfs)
         flat_stats = stats.reshape((-1,) + stats.shape[2:])
-        return {"modelset": self.modelset.accumulate(flat_stats, flat_resps)}
+        acc = {"modelset": self.modelset.accumulate(flat_stats, flat_resps)}
+        if self.trans_alpha_post is not None:
+            fb = cache["fb"]
+            acc["trans"] = semiring_scan.expected_transition_counts(
+                fb.log_alpha, fb.log_beta, cache["llh_states"],
+                cache["log_trans"], fb.log_z, cache["mask"],
+            )
+        return acc
 
     def kl_div_posterior_prior(self) -> jnp.ndarray:
-        return self.modelset.kl_div_posterior_prior()
+        return self.modelset.kl_div_posterior_prior() + self._trans_kl()
 
     def vb_update(self, acc: Dict[str, Any], lrate: float = 1.0) -> "HMM":
-        return self.replace(modelset=self.modelset.vb_update(acc["modelset"], lrate))
+        new = self.replace(
+            modelset=self.modelset.vb_update(acc["modelset"], lrate)
+        )
+        if self.trans_alpha_post is not None and "trans" in acc:
+            counts = jnp.where(self.trans_alpha_prior > 0, acc["trans"], 0.0)
+            target = self.trans_alpha_prior + counts
+            new_post = self.trans_alpha_post + lrate * (
+                target - self.trans_alpha_post
+            )
+            new = new.replace(trans_alpha_post=new_post)
+        return new
 
     # ------------------------------------------------------------------
     def expected_transition_counts(self, cache: Dict[str, Any]) -> jnp.ndarray:
@@ -107,7 +183,7 @@ class HMM(DiscreteLatentModel):
         llh_states = self._state_llh(stats)
         return semiring_scan.viterbi(
             llh_states,
-            self.graph.log_trans,
+            self._effective_log_trans(),
             self.graph.log_init,
             self.graph.log_final,
             mask,

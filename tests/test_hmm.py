@@ -314,3 +314,62 @@ def test_xi_block_restriction_matches_full(rng):
         np.asarray(block), np.asarray(full)[np.ix_([0, 2, 4], [1, 3])],
         rtol=1e-8,
     )
+
+
+class TestBayesianTransitions:
+    def test_learned_transitions_monotone_and_recover_dwell(self, rng):
+        """learn_transitions: ELBO monotone; self-loop prob tracks dwell."""
+        t_len, b = 60, 12
+        means = np.array([[-3.0], [0.0], [3.0]])
+        data = np.zeros((b, t_len, 1))
+        mask = np.ones((b, t_len))
+        # long dwell (~0.9 self-loop) unlike the 0.5 graph default
+        for i in range(b):
+            state, t = 0, 0
+            while t < t_len:
+                dwell = int(rng.integers(8, 14))
+                dwell = min(dwell, t_len - t)
+                data[i, t : t + dwell] = means[min(state, 2)] + 0.4 * rng.normal(
+                    size=(dwell, 1)
+                )
+                state += 1
+                t += dwell
+        flat = data.reshape(-1, 1)
+        nset = beer_tpu.NormalSet.create(
+            jnp.asarray(flat.mean(0)), jnp.asarray(np.cov(flat.T).reshape(1, 1)),
+            size=3, cov_type="full", noise_std=1.0, key=jax.random.PRNGKey(5),
+        )
+        hmm = HMM.create(
+            graph_mod.left_to_right(3, self_loop=0.5).compile(jnp.float64),
+            nset, learn_transitions=True,
+        )
+        x, m = jnp.asarray(data), jnp.asarray(mask)
+        step = jax.jit(vb_step)
+        elbos = []
+        for _ in range(25):
+            elbo, hmm = step(hmm, x, mask=m)
+            elbos.append(float(elbo) / mask.sum())
+        diffs = np.diff(elbos)
+        assert np.all(diffs > -1e-8), f"min diff {diffs.min()}"
+        # some non-final state must have learned a long dwell (>0.7
+        # self-loop vs the 0.5 graph default); which one carries it
+        # depends on the alignment optimum
+        a = np.asarray(hmm.trans_alpha_post)
+        allowed = np.asarray(hmm.trans_alpha_prior) > 0
+        probs = np.where(allowed, a, 0)
+        probs = probs / probs.sum(1, keepdims=True)
+        self_loops = np.diag(probs)[:-1]  # last state's row is trivial
+        assert self_loops.max() > 0.7, f"no long dwell learned: {np.diag(probs)}"
+        # and the posterior moved away from the prior's 0.5 everywhere it
+        # had data support
+        assert abs(self_loops - 0.5).max() > 0.2
+
+    def test_fixed_transitions_unchanged(self, rng):
+        """Default (fixed) path has no transition parameters."""
+        nset = beer_tpu.NormalSet.create(
+            jnp.zeros(1), jnp.ones((1, 1)), size=3, cov_type="full",
+            key=jax.random.PRNGKey(0),
+        )
+        hmm = HMM.create(graph_mod.left_to_right(3).compile(), nset)
+        assert hmm.trans_alpha_post is None
+        assert float(hmm._trans_kl()) == 0.0
