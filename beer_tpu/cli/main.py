@@ -9,7 +9,7 @@ import sys
 GROUPS = {
     "dataset": ["create"],
     "features": ["extract"],
-    "hmm": ["mkphones", "mkphoneloop", "train", "decode"],
+    "hmm": ["mkphones", "mkphoneloop", "align", "train", "decode"],
     "shmm": ["train"],
 }
 

@@ -158,3 +158,26 @@ def test_dataset_create_from_directory(workdir, tmp_path):
     manifest = json.loads(out.read_text())
     assert len(manifest["utterances"]) == 4
     assert all(k.startswith("utt") for k in manifest["utterances"])
+
+
+def test_forced_alignment_cli(workdir, tmp_path):
+    """hmm align emits per-frame phone labels matching utterance lengths."""
+    root = workdir
+    exp = tmp_path / "ali"
+    exp.mkdir()
+    trans = exp / "train.trans"
+    trans.write_text("\n".join(f"utt{i} a b c" for i in range(4)) + "\n")
+    (exp / "phones.yml").write_text("states_per_phone: 2\nncomp_per_state: 1\n")
+    assert cli([
+        "hmm", "mkphones", str(exp / "phones.yml"), str(root / "feats.npz"),
+        str(trans), str(exp / "emissions.mdl"),
+    ]) == 0
+    assert cli([
+        "hmm", "align", str(exp / "emissions.mdl"), str(root / "feats.npz"),
+        str(trans), str(exp / "ali.txt"),
+    ]) == 0
+    feats = np.load(root / "feats.npz")
+    for line in (exp / "ali.txt").read_text().splitlines():
+        parts = line.split()
+        assert len(parts) - 1 == feats[parts[0]].shape[0]
+        assert set(parts[1:]) <= {"a", "b", "c"}
