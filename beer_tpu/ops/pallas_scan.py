@@ -42,7 +42,8 @@ def _fwd_kernel(e_ref, m_ref, trans_ref, init_ref,
     prev_p = carry_p[:]
     prev_c = carry_c[:]
     propagated = jnp.dot(
-        prev_p, trans_ref[:], preferred_element_type=jnp.float32
+        prev_p, trans_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     base = jnp.where(t == 0, prev_p, propagated)
     raw = base * e_ref[0].astype(jnp.float32)            # (B, S)
@@ -74,7 +75,8 @@ def _bwd_kernel(e_ref, m_ref, trans_t_ref, final_ref,
     prev_p = carry_p[:]
     prev_c = carry_c[:]
     v = prev_p * e_ref[0].astype(jnp.float32)
-    raw = jnp.dot(v, trans_t_ref[:], preferred_element_type=jnp.float32)
+    raw = jnp.dot(v, trans_t_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
     new_p = raw / norm
     new_c = prev_c + jnp.log(norm)

@@ -48,14 +48,26 @@ def _pad_time(x, tile):
 # Fused ELLH: llh[t, k] = -1/2 Σ_ij x_i x_j E[Λ_k]_ij + Σ_i x_i E[Λμ_k]_i
 #                         - 1/2 E[μΛμ]_k + 1/2 E[log|Λ|]_k - D/2 log 2π
 # ----------------------------------------------------------------------
+def _flat_outer(x):
+    """Column-blocked xxᵀ flattening: out[:, i·D+j] = x_i·x_j.
+
+    Built with a static concat of (Tt, D) column products — Mosaic cannot
+    lower the (Tt, D, D) → (Tt, D²) vector reshape, so the 3-D outer
+    product is never formed.
+    """
+    d = x.shape[-1]
+    return jnp.concatenate([x[:, i : i + 1] * x for i in range(d)], axis=1)
+
+
 def _ellh_kernel(x_ref, elam_ref, elin_ref, const_ref, out_ref):
     x = x_ref[:]                                     # (Tt, D)
-    tt, d = x.shape
-    xx = (x[:, :, None] * x[:, None, :]).reshape(tt, d * d)
+    xx = _flat_outer(x)
     quad = jnp.dot(
-        xx, elam_ref[:], preferred_element_type=jnp.float32
+        xx, elam_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                # (Tt, K) via (D², K)
-    lin = jnp.dot(x, elin_ref[:], preferred_element_type=jnp.float32)
+    lin = jnp.dot(x, elin_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out_ref[:] = (-0.5 * quad + lin + const_ref[:]).astype(out_ref.dtype)
 
 
@@ -113,10 +125,11 @@ def _acc_kernel(x_ref, r_ref, out_ref, acc_xx, acc_x, acc_c):
 
     x = x_ref[:]                                     # (Tt, D)
     r = r_ref[:]                                     # (Tt, K)
-    tt, d = x.shape
-    xx = (x[:, :, None] * x[:, None, :]).reshape(tt, d * d)
-    acc_xx[:] += jnp.dot(r.T, xx, preferred_element_type=jnp.float32)
-    acc_x[:] += jnp.dot(r.T, x, preferred_element_type=jnp.float32)
+    xx = _flat_outer(x)
+    acc_xx[:] += jnp.dot(r.T, xx, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+    acc_x[:] += jnp.dot(r.T, x, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     acc_c[:] += jnp.sum(r, axis=0, keepdims=True).astype(jnp.float32)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
@@ -175,6 +188,9 @@ def on_tpu() -> bool:
 
 def use_fused_full(dim: int, ncomp: int) -> bool:
     """Heuristic: worth fusing when the (T, D²) materialization is big and
-    the per-tile VMEM footprint (xx tile + accumulators) fits."""
+    the per-tile VMEM footprint (xx tile + accumulators) fits; dim is
+    capped because the column-blocked outer product unrolls D concats."""
     vmem_bytes = 4 * (TILE_T * dim * dim + ncomp * (dim * dim + dim))
-    return on_tpu() and dim >= 8 and vmem_bytes < 8 * 1024 * 1024
+    return (
+        on_tpu() and 8 <= dim <= 64 and vmem_bytes < 8 * 1024 * 1024
+    )
