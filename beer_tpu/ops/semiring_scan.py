@@ -5,11 +5,15 @@ where the reference runs a Python ``for t in range(T)`` loop of
 ``logsumexp`` steps per utterance (its single biggest performance sin,
 SURVEY.md §3.2), these are whole-batch XLA programs:
 
-* :func:`forward_backward` — sequential ``lax.scan`` over time whose step
-  is an **exp-shift matmul**: α_t = llh_t + m + log(exp(α_{t−1} − m) @ A).
-  The (B, S) @ (S, S) product rides the MXU; the max-shift ``m`` makes it
-  exactly equal to the log-domain recursion (the classic scaling trick),
-  and the whole batch advances in lock-step.
+* :func:`forward_backward` — the **scaled** recursions: carries are
+  normalized probabilities plus a per-sequence log-scale, the per-step
+  (B, S) @ (S, S) product rides the MXU, exp(llh) is hoisted out of the
+  scan, and the only in-step transcendental is one log on the (B, 1)
+  normalizer.  On TPU the whole T-loop runs as a single Pallas kernel
+  (:mod:`beer_tpu.ops.pallas_scan`); per-utterance-graph batches use the
+  ``lax.scan`` path.  Posteriors are per-frame softmaxes of α+β and
+  ξ-counts use per-frame-normalized factors — both independent of any
+  probability floor the scaled carries introduce.
 * :func:`forward_assoc` — ``lax.associative_scan`` over log-transition
   operators (O(log T) depth, per "Temporal Parallelization of Inference
   in HMMs", arXiv:2102.05743) for few-long-sequences workloads.
