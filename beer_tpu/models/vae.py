@@ -21,9 +21,36 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from flax import linen as fnn
 from flax import struct
+
 from beer_tpu import nnet
 from beer_tpu.models.basemodel import Model
+
+
+class _Encoder(fnn.Module):
+    """MLP trunk + diagonal-Normal head (module-level: picklable)."""
+
+    hidden: tuple
+    latent_dim: int
+
+    @fnn.compact
+    def __call__(self, x):
+        h = nnet.MLP(self.hidden)(x)
+        return nnet.NormalDiagLayer(self.latent_dim)(h)
+
+
+class _Decoder(fnn.Module):
+    hidden: tuple
+    obs_dim: int
+    output: str = "normal"
+
+    @fnn.compact
+    def __call__(self, z):
+        h = nnet.MLP(self.hidden)(z)
+        if self.output == "normal":
+            return nnet.NormalDiagLayer(self.obs_dim)(h)
+        return nnet.BernoulliLayer(self.obs_dim)(h)
 
 
 @struct.dataclass
@@ -48,26 +75,10 @@ class VAE(Model):
         key: Optional[jax.Array] = None,
     ) -> "VAE":
         """Encoder/decoder MLPs with Normal (or Bernoulli) output heads."""
-        import flax.linen as fnn
-
         key = key if key is not None else jax.random.PRNGKey(0)
         k_enc, k_dec = jax.random.split(key)
-
-        class Encoder(fnn.Module):
-            @fnn.compact
-            def __call__(self, x):
-                h = nnet.MLP(hidden)(x)
-                return nnet.NormalDiagLayer(latent_dim)(h)
-
-        class Decoder(fnn.Module):
-            @fnn.compact
-            def __call__(self, z):
-                h = nnet.MLP(hidden)(z)
-                if output == "normal":
-                    return nnet.NormalDiagLayer(obs_dim)(h)
-                return nnet.BernoulliLayer(obs_dim)(h)
-
-        enc, dec = Encoder(), Decoder()
+        enc = _Encoder(tuple(hidden), latent_dim)
+        dec = _Decoder(tuple(hidden), obs_dim, output)
         params = {
             "encoder": enc.init(k_enc, jnp.zeros((1, obs_dim))),
             "decoder": dec.init(k_dec, jnp.zeros((1, latent_dim))),

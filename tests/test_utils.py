@@ -70,3 +70,47 @@ def test_metrics_logger(tmp_path):
 
     rec = json.loads(lines[1])
     assert rec["step"] == 1 and rec["elbo_per_frame"] == -4.0
+
+
+def test_checkpoint_roundtrip_all_families(rng, tmp_path):
+    """Every model family serializes and reloads as a working pytree."""
+    import optax
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.models.vae import VAE
+    from beer_tpu.models.gsm import HierarchicalGSM
+
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(3), jnp.eye(3), size=6, cov_type="diagonal",
+        key=jax.random.PRNGKey(0),
+    )
+    models = {
+        "phoneloop": PhoneLoop.create(2, 3, nset),
+        "ppca": beer_tpu.PPCA.create(4, 2),
+        "plda": beer_tpu.PLDA.create(4, 2),
+        "vae": VAE.create(
+            obs_dim=4, latent_dim=2,
+            latent_model=beer_tpu.Normal.create(jnp.zeros(2), jnp.eye(2)),
+            hidden=(8,),
+        ),
+        "hgsm": HierarchicalGSM.create(
+            3, 2, 4, n_langs=2, unit_lang=[0, 0, 1]
+        ),
+    }
+    for name, model in models.items():
+        path = tmp_path / f"{name}.mdl"
+        utils.save_model(model, path)
+        loaded = utils.load_model(path)
+        assert type(loaded) is type(model), name
+        for a, b in zip(jax.tree.leaves(model), jax.tree.leaves(loaded)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       err_msg=name)
+    # a reloaded VAE still runs its hybrid step
+    vae = utils.load_model(tmp_path / "vae.mdl")
+    from beer_tpu.models.vae import make_vae_train_step
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(vae.nnet_params)
+    step = make_vae_train_step(tx)
+    x = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    elbo, *_ = step(vae, opt_state, x, jax.random.PRNGKey(0))
+    assert np.isfinite(float(elbo))
