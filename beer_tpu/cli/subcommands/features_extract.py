@@ -11,7 +11,12 @@ import numpy as np
 def setup(parser):
     parser.add_argument("conf", help="features YAML config")
     parser.add_argument("manifest", help="dataset manifest (.json)")
-    parser.add_argument("out", help="output archive (.npz)")
+    parser.add_argument("out", help="output archive (.npz or .bar)")
+    parser.add_argument(
+        "--cmvn", choices=["none", "global", "utterance"], default="none",
+        help="cepstral mean+variance normalization applied after "
+        "extraction (on top of the config's per-utterance mean_norm)",
+    )
 
 
 def _load_audio(path: str, expected_srate: int):
@@ -63,6 +68,15 @@ def main(args):
         if conf.mean_norm:
             feats = feats - feats.mean(0, keepdims=True)
         archive[uttid] = feats
+    if args.cmvn == "utterance":
+        archive = {
+            k: (v - v.mean(0)) / np.maximum(v.std(0), 1e-8)
+            for k, v in archive.items()
+        }
+    elif args.cmvn == "global":
+        flat = np.concatenate(list(archive.values()))
+        mu, sd = flat.mean(0), np.maximum(flat.std(0), 1e-8)
+        archive = {k: (v - mu) / sd for k, v in archive.items()}
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     if args.out.endswith(".bar"):
         from beer_tpu import io as bio

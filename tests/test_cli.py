@@ -181,3 +181,19 @@ def test_forced_alignment_cli(workdir, tmp_path):
         parts = line.split()
         assert len(parts) - 1 == feats[parts[0]].shape[0]
         assert set(parts[1:]) <= {"a", "b", "c"}
+
+
+def test_cmvn_global(workdir, tmp_path):
+    root = workdir
+    # self-sufficient: (re)create the manifest for standalone runs
+    assert cli(["dataset", "create", str(root / "wav.scp"),
+                str(root / "manifest.json")]) == 0
+    out = tmp_path / "feats_cmvn.npz"
+    assert cli([
+        "features", "extract", str(root / "features.yml"),
+        str(root / "manifest.json"), str(out), "--cmvn", "global",
+    ]) == 0
+    feats = np.load(out)
+    flat = np.concatenate([feats[k] for k in feats.files])
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(flat.std(0), 1.0, atol=1e-3)
