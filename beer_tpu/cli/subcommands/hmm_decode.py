@@ -20,6 +20,11 @@ def setup(parser):
         help="the model is mkphones emissions: decode with a phone-loop "
         "graph and emit phone symbols (supervised recognizer)",
     )
+    parser.add_argument(
+        "--lm-transcriptions", default=None,
+        help="with --phone-lm: estimate a bigram phone LM from this "
+        "transcription file instead of a uniform loop",
+    )
 
 
 def collapse(units):
@@ -44,14 +49,26 @@ def main(args):
     if args.phone_lm:
         import json
 
-        from beer_tpu.models.graph import phone_loop_graph
+        from beer_tpu.models.graph import bigram_lm, phone_loop_graph
         from beer_tpu.models.hmm import HMM
 
         meta = json.loads(Path(args.model + ".phones.json").read_text())
         phones = meta["phones"]
         spp = meta["states_per_phone"]
+        lm_trans = lm_init = None
+        if args.lm_transcriptions:
+            from beer_tpu.cli.subcommands.hmm_mkphones import read_transcriptions
+
+            idx = {p: i for i, p in enumerate(phones)}
+            seqs = [
+                [idx[p] for p in seq if p in idx]
+                for seq in read_transcriptions(args.lm_transcriptions).values()
+            ]
+            lm_trans, lm_init = bigram_lm(seqs, len(phones))
         recognizer = HMM.create(
-            phone_loop_graph(len(phones), spp).compile(), model
+            phone_loop_graph(len(phones), spp, lm_trans=lm_trans,
+                             lm_init=lm_init).compile(),
+            model,
         )
         paths, _ = jax.jit(recognizer.decode)(
             jnp.asarray(data), jnp.asarray(mask)

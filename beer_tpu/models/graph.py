@@ -144,18 +144,31 @@ def left_to_right(n_states: int, first_pdf: int = 0, self_loop: float = 0.5) -> 
 
 
 def phone_loop_graph(
-    n_units: int, states_per_unit: int, self_loop: float = 0.5
+    n_units: int,
+    states_per_unit: int,
+    self_loop: float = 0.5,
+    lm_trans=None,
+    lm_init=None,
 ) -> Graph:
     """N left-to-right unit HMMs in a loop.
 
     Unit u owns pdfs [u·P, (u+1)·P) and states likewise.  Every unit's
-    last state connects to every unit's first state; the *weights* of
-    those loop-back arcs are uniform here — the Bayesian prior over unit
-    transitions (Dirichlet / SBCategorical) is applied on top by
+    last state connects to every unit's first state.  The loop-back arc
+    weights default to uniform — the Bayesian prior over unit transitions
+    (Dirichlet / SBCategorical) is applied on top by
     :class:`beer_tpu.models.phoneloop.PhoneLoop` at E-step time, keeping
     the graph fixed while the unit LM stays conjugate (reference:
-    ``beer/models/phoneloop.py``).
+    ``beer/models/phoneloop.py``).  For *recognition* decoding, pass a
+    bigram language model instead: ``lm_trans`` (U, U) with
+    ``lm_trans[u, v]`` ∝ P(next unit v | unit u) and ``lm_init`` (U,)
+    ∝ P(first unit).
     """
+    import numpy as np
+
+    if lm_trans is None:
+        lm_trans = np.full((n_units, n_units), 1.0 / n_units)
+    if lm_init is None:
+        lm_init = np.full(n_units, 1.0 / n_units)
     g = Graph()
     starts, ends = [], []
     for u in range(n_units):
@@ -166,14 +179,33 @@ def phone_loop_graph(
                 g.add_arc(s, states[i + 1], 1.0 - self_loop)
         starts.append(states[0])
         ends.append(states[-1])
-        g.set_init(states[0], 1.0 / n_units)
+        g.set_init(states[0], float(lm_init[u]))
         g.set_final(states[-1], (1.0 - self_loop) * 0.5)
-    exit_mass = (1.0 - self_loop) * 0.5 / n_units
-    for e in ends:
-        for s in starts:
-            g.add_arc(e, s, exit_mass)
+    exit_mass = (1.0 - self_loop) * 0.5
+    for u, e in enumerate(ends):
+        row = lm_trans[u] / max(float(np.sum(lm_trans[u])), 1e-30)
+        for v, s in enumerate(starts):
+            if row[v] > 0:
+                g.add_arc(e, s, exit_mass * float(row[v]))
     g.normalize()
     return g
+
+
+def bigram_lm(transcriptions, n_units: int, smoothing: float = 0.5):
+    """ML bigram unit LM from transcriptions (add-``smoothing`` counts).
+
+    Returns (lm_trans (U, U), lm_init (U,)) for :func:`phone_loop_graph`.
+    """
+    import numpy as np
+
+    trans = np.full((n_units, n_units), smoothing)
+    init = np.full(n_units, smoothing)
+    for seq in transcriptions:
+        if len(seq):
+            init[seq[0]] += 1
+        for a, b in zip(seq[:-1], seq[1:]):
+            trans[a, b] += 1
+    return trans / trans.sum(1, keepdims=True), init / init.sum()
 
 
 def transcription_graphs(

@@ -129,3 +129,34 @@ def test_phone_loop_recognition(trained):
         total += len(ref)
     per = errs / total
     assert per < 0.1, f"phone error rate too high: {per:.3f}"
+
+
+def test_bigram_lm_decoding(trained):
+    """A bigram unit LM estimated from the training transcriptions should
+    not hurt (and typically helps) recognition vs the uniform loop."""
+    from beer_tpu.models.graph import bigram_lm
+
+    transcriptions, data, mask, hmm, _ = trained
+    lm_trans, lm_init = bigram_lm(
+        [list(map(int, t)) for t in transcriptions], N_PHONES
+    )
+    np.testing.assert_allclose(lm_trans.sum(1), 1.0, rtol=1e-12)
+    loop_graph = graph_mod.phone_loop_graph(
+        N_PHONES, STATES, lm_trans=lm_trans, lm_init=lm_init
+    ).compile(jnp.float64)
+    recognizer = HMM.create(loop_graph, hmm.modelset)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    paths, _ = recognizer.decode(x, m)
+    paths = np.asarray(paths)
+
+    def collapse(seq):
+        return [seq[0]] + [p for j, p in enumerate(seq[1:], 1) if p != seq[j - 1]]
+
+    errs, total = 0, 0
+    for i, truth in enumerate(transcriptions):
+        ln = int(mask[i].sum())
+        hyp = collapse(list(paths[i, :ln] // STATES))
+        ref = collapse(list(truth))
+        errs += edit_distance(hyp, ref)
+        total += len(ref)
+    assert errs / total < 0.1, f"bigram-LM PER too high: {errs/total:.3f}"
