@@ -50,7 +50,7 @@ fi
 if [ ! -f "$work/hyp.trans" ]; then
   stage_mark 5 "phone-loop recognition"
   beer hmm decode "$work/train/final.mdl" "$work/feats.bar" "$work/hyp.trans" \
-      --phone-lm
+      --phone-lm --lm-transcriptions "$work/train.trans"
 fi
 
 stage_mark 6 "PER scoring"
