@@ -16,6 +16,7 @@ def main(args):
     import jax.numpy as jnp
 
     import beer_tpu
+    from beer_tpu.models.categorical import SBCategoricalHyperPrior
     from beer_tpu.models.phoneloop import PhoneLoop
     from beer_tpu.utils import load_yaml, save_model
 
@@ -47,8 +48,17 @@ def main(args):
         prior_strength=prior_strength, noise_std=noise_std, cov_type=cov_type,
         key=jax.random.PRNGKey(seed),
     )
+    unit_prior = None
+    if conf.get("hyperprior", False):
+        # Gamma hyper-prior on the DP concentration (SBCategoricalHyperPrior)
+        unit_prior = SBCategoricalHyperPrior.create(
+            n_units,
+            prior_shape=float(conf.get("hyperprior_shape", 1.0)),
+            prior_rate=float(conf.get("hyperprior_rate", 1.0)),
+        )
     loop = PhoneLoop.create(
-        n_units, states_per_unit, nset, concentration=concentration
+        n_units, states_per_unit, nset,
+        unit_prior=unit_prior, concentration=concentration,
     )
     save_model(loop, args.out)
     print(

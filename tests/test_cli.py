@@ -197,3 +197,24 @@ def test_cmvn_global(workdir, tmp_path):
     flat = np.concatenate([feats[k] for k in feats.files])
     np.testing.assert_allclose(flat.mean(0), 0.0, atol=1e-4)
     np.testing.assert_allclose(flat.std(0), 1.0, atol=1e-3)
+
+
+def test_mkphoneloop_hyperprior(workdir, tmp_path):
+    """hyperprior: true builds an SBCategoricalHyperPrior unit LM."""
+    from beer_tpu.models.categorical import SBCategoricalHyperPrior
+    from beer_tpu.utils import load_model
+
+    root = workdir
+    conf = tmp_path / "hmm_hp.yml"
+    conf.write_text(
+        "n_units: 3\nstates_per_unit: 2\ncov_type: diagonal\nhyperprior: true\n"
+    )
+    out = tmp_path / "hp.mdl"
+    assert cli(["hmm", "mkphoneloop", str(conf), str(root / "feats.npz"),
+                str(out)]) == 0
+    loop = load_model(out)
+    assert isinstance(loop.unit_prior, SBCategoricalHyperPrior)
+    # and it trains through the CLI
+    assert cli(["hmm", "train", str(out), str(root / "feats.npz"),
+                str(tmp_path / "exp_hp"), "--epochs", "2",
+                "--single-device"]) == 0
