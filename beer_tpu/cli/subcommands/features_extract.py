@@ -47,24 +47,31 @@ def main(args):
 
     # Bucket signal lengths (pad to the next half-second) so a handful of
     # compiled programs cover the corpus instead of one per distinct
-    # length; padded frames are sliced away (mean-norm is recomputed on
-    # the true frames, so results match the unpadded pipeline exactly).
-    raw_conf = conf
-    if conf.mean_norm:
-        import dataclasses
+    # length.  Deltas and mean-norm are recomputed host-side on the true
+    # frames after slicing away bucket padding — computing them inside
+    # the padded extraction would leak log(energy_floor) spikes into the
+    # last ~2·order frames' deltas.
+    import dataclasses
 
-        raw_conf = dataclasses.replace(conf, mean_norm=False)
+    raw_conf = dataclasses.replace(conf, mean_norm=False, deltas=False)
     extract = jax.jit(lambda s: features.extract(s, raw_conf))
     bucket = conf.srate // 2
     archive = {}
     for uttid, path in utts.items():
         sig = _load_audio(path, conf.srate)
         n = len(sig)
+        n_frames = 1 + (n - conf.frame_length) // conf.frame_shift
+        if n_frames <= 0:
+            raise ValueError(
+                f"{uttid}: signal too short ({n} samples < frame_length "
+                f"{conf.frame_length})"
+            )
         padded = np.zeros(-(-max(n, conf.frame_length) // bucket) * bucket,
                           sig.dtype)
         padded[:n] = sig
-        n_frames = 1 + (n - conf.frame_length) // conf.frame_shift
         feats = np.asarray(extract(padded))[:n_frames]
+        if conf.deltas:
+            feats = features.add_deltas_np(feats)
         if conf.mean_norm:
             feats = feats - feats.mean(0, keepdims=True)
         archive[uttid] = feats

@@ -56,11 +56,14 @@ def pad_archive(path_or_npz):
     return keys, data, mask
 
 
-def _train_minibatch(args, model, outdir):
+def _train_minibatch(args, model, outdir, start_epoch=0):
     """Stochastic VB: fixed-shape shuffled minibatches via io.BatchLoader.
 
     One compile (fixed (B, T_max) shapes), background batch prefetch
-    overlapping device compute, per-epoch checkpoints.
+    overlapping device compute, per-epoch checkpoints.  The tail batch is
+    padded with zero-mask utterances; statistics are scaled by
+    ``datasize / n_valid`` (``datasize`` enters the jitted step as a
+    traced scalar so the varying valid count does not recompile).
     """
     import time as _time
 
@@ -79,30 +82,37 @@ def _train_minibatch(args, model, outdir):
             bio.convert_npz(args.feats, bar_path)
         archive = bio.Archive(bar_path)
     n_utts = len(archive)
-    datasize = float(n_utts)
     step = jax.jit(
-        lambda m, x, msk: vb_step(
-            m, x, datasize=datasize, lrate=args.lrate, mask=msk
+        lambda m, x, msk, ds: vb_step(
+            m, x, datasize=ds, lrate=args.lrate, mask=msk
         )
     )
     loader = bio.BatchLoader(archive, args.batch_size, seed=0)
     logger = MetricsLogger(outdir / "log", stdout=False)
-    for epoch in range(1, args.epochs + 1):
+    for epoch in range(start_epoch + 1, args.epochs + 1):
         t0 = _time.time()
-        total_elbo, total_frames = 0.0, 0.0
+        total_elbo, total_frames, n_batches = 0.0, 0.0, 0
         for data, mask in loader:
-            if data.shape[0] < args.batch_size:  # keep shapes static
-                pad = args.batch_size - data.shape[0]
+            n_valid = data.shape[0]
+            if n_valid < args.batch_size:  # keep shapes static
+                pad = args.batch_size - n_valid
                 data = np.concatenate([data, np.zeros((pad,) + data.shape[1:],
                                                       data.dtype)])
                 mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:],
                                                       mask.dtype)])
-            elbo, model = step(model, jnp.asarray(data), jnp.asarray(mask))
+            # scale = datasize/B inside vb_step; feed datasize' so the
+            # effective scale is n_utts/n_valid (padded rows carry 0 stats)
+            ds = jnp.float32(n_utts * args.batch_size / n_valid)
+            elbo, model = step(model, jnp.asarray(data), jnp.asarray(mask), ds)
             total_elbo += float(elbo)
             total_frames += float(mask.sum())
+            n_batches += 1
         dt = _time.time() - t0
-        print(f"epoch {epoch}: elbo/frame = {total_elbo / max(total_frames,1) / max(n_utts/args.batch_size,1):.6f}")
-        logger.log(epoch, stochastic_elbo=total_elbo,
+        # each batch ELBO estimates the full-corpus ELBO; report the mean
+        # estimate normalized by the corpus frame count
+        per_frame = total_elbo / max(n_batches, 1) / max(total_frames, 1)
+        print(f"epoch {epoch}: elbo/frame = {per_frame:.6f}")
+        logger.log(epoch, stochastic_elbo=total_elbo / max(n_batches, 1),
                    frames_per_sec=total_frames / dt)
         save_model(model, outdir / f"epoch{epoch:04d}.mdl")
     logger.close()
@@ -172,10 +182,12 @@ def main(args):
                 save_model(emissions, outdir / f"epoch{epoch:04d}.mdl")
             final_emissions = emissions
         else:
-            if ckpt is not None:
-                model = load_model(ckpt)  # full HMM checkpoint (incl. graphs)
-            else:
-                model = HMM.create(graphs, model)  # model holds the emissions
+            # checkpoints hold the *emissions* modelset in both the
+            # single-device and data-parallel branches (the graph is
+            # rebuilt from the transcriptions), so a run may resume
+            # under a different device count.
+            emissions = load_model(ckpt) if ckpt is not None else model
+            model = HMM.create(graphs, emissions)
             step = jax.jit(
                 lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)
             )
@@ -183,7 +195,7 @@ def main(args):
             for epoch in range(start_epoch + 1, args.epochs + 1):
                 elbo, model = step(model, x, m)
                 print(f"epoch {epoch}: elbo/frame = {float(elbo) / n_frames:.6f}")
-                save_model(model, outdir / f"epoch{epoch:04d}.mdl")
+                save_model(model.modelset, outdir / f"epoch{epoch:04d}.mdl")
             final_emissions = model.modelset
         # final artifact = the trained *emissions* (graph is per-corpus)
         save_model(final_emissions, outdir / "final.mdl")
@@ -195,7 +207,7 @@ def main(args):
         return
 
     if args.batch_size:
-        _train_minibatch(args, model, outdir)
+        _train_minibatch(args, model, outdir, start_epoch=start_epoch)
         return
 
     n_dev = len(jax.devices())

@@ -177,6 +177,29 @@ def add_deltas(feats: jnp.ndarray, order: int = 2) -> jnp.ndarray:
     return jnp.concatenate([feats, d1, d2], axis=-1)
 
 
+def add_deltas_np(feats: np.ndarray, order: int = 2) -> np.ndarray:
+    """Host-side (numpy) twin of :func:`add_deltas`.
+
+    Used by the CLI's bucketed extraction path, where deltas must be
+    computed on the *true* frames after slicing away bucket padding
+    (computing them on the padded signal would pollute the last
+    ~2·order frames with log(energy_floor) spikes) — and where eager
+    jnp ops would round-trip the axon TPU tunnel per utterance.
+    """
+    kernel = delta_kernel(order).astype(feats.dtype)
+
+    def smooth(f):
+        padded = np.pad(f, ((order, order), (0, 0)), mode="edge")
+        out = np.empty_like(f)
+        for j in range(f.shape[1]):
+            out[:, j] = np.convolve(padded[:, j], kernel[::-1], mode="valid")
+        return out
+
+    d1 = smooth(feats)
+    d2 = smooth(d1)
+    return np.concatenate([feats, d1, d2], axis=-1)
+
+
 def fbank(signal, conf: Optional[FeatureConfig] = None, **kw) -> jnp.ndarray:
     """Reference-named helper: log-mel filter bank features."""
     conf = conf or FeatureConfig(feature_type="fbank", **kw)

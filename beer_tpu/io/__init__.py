@@ -43,16 +43,21 @@ def write_archive(path, utterances: Dict[str, np.ndarray]) -> None:
     index_size = 8 + 8
     for uttid, feats in items:
         index_size += 4 + len(uttid.encode()) + 8 + 4 + 4
+    # Align the data section to 4 bytes so float32 frame pointers into the
+    # mmap are aligned (each utterance's nbytes is a multiple of 4, so
+    # alignment of the first offset carries through).
+    data_start = -(-index_size // 4) * 4
     with open(path, "wb") as fh:
         fh.write(_MAGIC)
         fh.write(pystruct.pack("<Q", len(items)))
-        offset = index_size
+        offset = data_start
         for uttid, feats in items:
             encoded = uttid.encode()
             fh.write(pystruct.pack("<I", len(encoded)))
             fh.write(encoded)
             fh.write(pystruct.pack("<QII", offset, feats.shape[0], feats.shape[1]))
             offset += feats.nbytes
+        fh.write(b"\0" * (data_start - index_size))
         for _, feats in items:
             fh.write(feats.tobytes())
 

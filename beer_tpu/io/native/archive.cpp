@@ -69,24 +69,39 @@ void* bar_open(const char* path) {
   ar->base = static_cast<const uint8_t*>(mem);
   ar->size = st.st_size;
 
+  // Parse the index with bounds checks against the mapped size: a
+  // truncated or corrupt .bar must fail bar_open, not read out of
+  // bounds in here or later in bar_read_batch/bar_utt_data.
   const uint8_t* p = ar->base;
-  if (ar->size < 16 || std::memcmp(p, "BEER_AR1", 8) != 0) {
+  const uint8_t* end = ar->base + ar->size;
+  auto fail = [&]() -> void* {
     munmap(mem, st.st_size);
     ::close(fd);
     delete ar;
     return nullptr;
-  }
+  };
+  auto can_read = [&](size_t bytes) {
+    return static_cast<size_t>(end - p) >= bytes;
+  };
+  if (ar->size < 16 || std::memcmp(p, "BEER_AR1", 8) != 0) return fail();
   p += 8;
   uint64_t n = read_pod<uint64_t>(p);
+  if (n > ar->size / 20) return fail();  // each index entry is >= 20 bytes
   ar->utts.reserve(n);
   for (uint64_t i = 0; i < n; ++i) {
+    if (!can_read(4)) return fail();
     uint32_t id_len = read_pod<uint32_t>(p);
+    if (!can_read(static_cast<size_t>(id_len) + 16)) return fail();
     UttInfo info;
     info.id.assign(reinterpret_cast<const char*>(p), id_len);
     p += id_len;
     info.offset = read_pod<uint64_t>(p);
     info.n_frames = read_pod<uint32_t>(p);
     info.dim = read_pod<uint32_t>(p);
+    const uint64_t nbytes =
+        static_cast<uint64_t>(info.n_frames) * info.dim * sizeof(float);
+    if (info.offset > ar->size || nbytes > ar->size - info.offset)
+      return fail();
     ar->utts.push_back(std::move(info));
   }
   return ar;

@@ -164,5 +164,10 @@ def backward_pass(e_llh, trans, final_vec, mask, interpret: bool = False):
 
 @functools.cache
 def available() -> bool:
-    """Pallas path only on real TPU backends."""
-    return jax.default_backend() not in ("cpu", "METAL")
+    """Pallas path only on real TPU backends.
+
+    Explicit ``== "tpu"`` (the axon tunnel also reports ``"tpu"``): the
+    kernels use ``pltpu.VMEM`` BlockSpecs, which would crash rather than
+    fall back on a CUDA/ROCm backend.
+    """
+    return jax.default_backend() == "tpu"

@@ -183,7 +183,9 @@ def accumulate_full_xla(x, resps):
 # ----------------------------------------------------------------------
 @functools.cache
 def on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu", "METAL")
+    # explicit: these kernels are TPU-only (pltpu.VMEM BlockSpecs); a
+    # CUDA/ROCm backend must take the jnp fallback, not crash.
+    return jax.default_backend() == "tpu"
 
 
 def use_fused_full(dim: int, ncomp: int) -> bool:
