@@ -30,6 +30,26 @@ def setup(parser):
         "--lrate < 1 for stable stochastic updates.",
     )
     parser.add_argument(
+        "--buckets", type=int, default=1,
+        help="length buckets for minibatch padding (each bucket pads to "
+        "its own rounded maximum -> that many compiled shapes instead "
+        "of corpus-max padding everywhere)",
+    )
+    parser.add_argument(
+        "--accumulate-batches", action="store_true",
+        help="exact full-batch VB streamed through minibatches: "
+        "accumulate statistics over the whole epoch, then one conjugate "
+        "update — identical math to full batch, but the corpus never "
+        "has to fit in one padded array (requires --batch-size)",
+    )
+    parser.add_argument(
+        "--nan-guard", action="store_true",
+        help="checkify the training step: any non-finite value in the "
+        "log-space recursions or updated parameters raises with location "
+        "info instead of silently corrupting the run (single-device and "
+        "minibatch paths)",
+    )
+    parser.add_argument(
         "--transcriptions", default=None,
         help="supervised training: 'uttid ph1 ph2 ...' per line; the input "
         "model must be mkphones emissions (BASELINE config 3)",
@@ -72,7 +92,7 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
 
     from beer_tpu import io as bio
     from beer_tpu.utils import MetricsLogger, save_model
-    from beer_tpu.vbi import vb_step
+    from beer_tpu.vbi import elbo_and_stats, vb_step
 
     if args.feats.endswith(".bar"):
         archive = bio.Archive(args.feats)
@@ -87,11 +107,27 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
             m, x, datasize=ds, lrate=args.lrate, mask=msk
         )
     )
-    loader = bio.BatchLoader(archive, args.batch_size, seed=0)
+    if args.nan_guard:
+        from beer_tpu.utils.debug import nan_guard
+
+        guarded = jax.jit(nan_guard(
+            lambda m, x, msk, ds: vb_step(
+                m, x, datasize=ds, lrate=args.lrate, mask=msk
+            ), "vb_step",
+        ))
+
+        def step(m, x, msk, ds):
+            err, out = guarded(m, x, msk, ds)
+            err.throw()
+            return out
+    estep = jax.jit(lambda m, x, msk: elbo_and_stats(m, x, mask=msk))
+    loader = bio.BatchLoader(archive, args.batch_size, seed=0,
+                             buckets=args.buckets)
     logger = MetricsLogger(outdir / "log", stdout=False)
     for epoch in range(start_epoch + 1, args.epochs + 1):
         t0 = _time.time()
         total_elbo, total_frames, n_batches = 0.0, 0.0, 0
+        epoch_acc = None
         for data, mask in loader:
             n_valid = data.shape[0]
             if n_valid < args.batch_size:  # keep shapes static
@@ -100,19 +136,35 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
                                                       data.dtype)])
                 mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:],
                                                       mask.dtype)])
-            # scale = datasize/B inside vb_step; feed datasize' so the
-            # effective scale is n_utts/n_valid (padded rows carry 0 stats)
-            ds = jnp.float32(n_utts * args.batch_size / n_valid)
-            elbo, model = step(model, jnp.asarray(data), jnp.asarray(mask), ds)
+            x, msk = jnp.asarray(data), jnp.asarray(mask)
+            if args.accumulate_batches:
+                # exact full-batch VB: sum statistics, update once/epoch
+                elbo, acc = estep(model, x, msk)
+                epoch_acc = acc if epoch_acc is None else jax.tree.map(
+                    jnp.add, epoch_acc, acc
+                )
+            else:
+                # scale = datasize/B inside vb_step; feed datasize' so
+                # the effective scale is n_utts/n_valid (padded rows
+                # carry 0 stats)
+                ds = jnp.float32(n_utts * args.batch_size / n_valid)
+                elbo, model = step(model, x, msk, ds)
             total_elbo += float(elbo)
             total_frames += float(mask.sum())
             n_batches += 1
+        if args.accumulate_batches:
+            kl = float(model.kl_div_posterior_prior())
+            model = model.vb_update(epoch_acc, args.lrate)
+            # per-batch elbos each subtract the KL once; keep it once
+            total_elbo += kl * (n_batches - 1)
+            per_frame = total_elbo / max(total_frames, 1)
+        else:
+            # each batch ELBO estimates the full-corpus ELBO; report the
+            # mean estimate normalized by the corpus frame count
+            per_frame = total_elbo / max(n_batches, 1) / max(total_frames, 1)
         dt = _time.time() - t0
-        # each batch ELBO estimates the full-corpus ELBO; report the mean
-        # estimate normalized by the corpus frame count
-        per_frame = total_elbo / max(n_batches, 1) / max(total_frames, 1)
         print(f"epoch {epoch}: elbo/frame = {per_frame:.6f}")
-        logger.log(epoch, stochastic_elbo=total_elbo / max(n_batches, 1),
+        logger.log(epoch, elbo_per_frame=per_frame,
                    frames_per_sec=total_frames / dt)
         save_model(model, outdir / f"epoch{epoch:04d}.mdl")
     logger.close()
@@ -218,6 +270,18 @@ def main(args):
         mask = mask * valid[:, None]
         step = parallel.make_vb_train_step(mesh, lrate=args.lrate)
         print(f"data-parallel over {n_dev} devices")
+    elif args.nan_guard:
+        from beer_tpu.utils.debug import nan_guard
+
+        guarded = jax.jit(nan_guard(
+            lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk),
+            "vb_step",
+        ))
+
+        def step(m, x, msk):
+            err, out = guarded(m, x, msk)
+            err.throw()
+            return out
     else:
         step = jax.jit(
             lambda m, x, msk: vb_step(m, x, lrate=args.lrate, mask=msk)

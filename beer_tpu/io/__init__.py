@@ -229,30 +229,60 @@ class BatchLoader:
     Host-side batch assembly (the native fill) overlaps device compute:
     while the accelerator runs step N, the worker thread builds batch
     N+1.
+
+    ``buckets > 1`` enables length bucketing (SURVEY.md §7 "ragged
+    batching with pad+mask buckets"): utterances are partitioned by
+    length quantile and every batch is drawn within one bucket, padded
+    to that bucket's maximum (rounded up to ``pad_multiple`` so the
+    number of distinct compiled shapes stays at ``buckets``).  Short
+    utterances stop paying the longest utterance's padding.
     """
 
     def __init__(self, archive: Archive, batch_size: int,
                  t_max: Optional[int] = None, seed: int = 0,
-                 shuffle: bool = True):
+                 shuffle: bool = True, buckets: int = 1,
+                 pad_multiple: int = 32):
         self.archive = archive
         self.batch_size = batch_size
-        self.t_max = t_max or int(archive.lengths.max())
         self.rng = np.random.default_rng(seed)
         self.shuffle = shuffle
+        lengths = np.asarray(archive.lengths)
+        cap = t_max or int(lengths.max())
+        buckets = max(1, min(buckets, len(lengths)))
+        if buckets > 1:
+            edges = np.quantile(lengths, np.linspace(0, 1, buckets + 1)[1:-1])
+            bucket_id = np.searchsorted(edges, lengths, side="left")
+        else:
+            bucket_id = np.zeros(len(lengths), np.int64)
+        self.bucket_indices = []
+        self.bucket_t_max = []
+        for b in range(buckets):
+            idx = np.nonzero(bucket_id == b)[0]
+            if idx.size == 0:
+                continue
+            tb = int(lengths[idx].max())
+            tb = min(-(-tb // pad_multiple) * pad_multiple, cap)
+            self.bucket_indices.append(idx)
+            self.bucket_t_max.append(tb)
+        self.t_max = cap  # largest shape any batch can take
 
     def __iter__(self):
-        order = np.arange(len(self.archive))
+        batches = []
+        for idx, tb in zip(self.bucket_indices, self.bucket_t_max):
+            order = idx.copy()
+            if self.shuffle:
+                self.rng.shuffle(order)
+            batches += [
+                (order[i : i + self.batch_size], tb)
+                for i in range(0, len(order), self.batch_size)
+            ]
         if self.shuffle:
-            self.rng.shuffle(order)
-        batches = [
-            order[i : i + self.batch_size]
-            for i in range(0, len(order), self.batch_size)
-        ]
+            self.rng.shuffle(batches)
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def producer():
-            for idx in batches:
-                q.put(self.archive.padded_batch(idx, self.t_max))
+            for idx, tb in batches:
+                q.put(self.archive.padded_batch(idx, tb))
             q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)

@@ -143,6 +143,21 @@ def left_to_right(n_states: int, first_pdf: int = 0, self_loop: float = 0.5) -> 
     return g
 
 
+def ergodic(n_states: int, self_loop: float = 0.5) -> Graph:
+    """Fully-connected HMM: every state reaches every state (plain HMM
+    topologies of the reference notebooks; BASELINE config 2)."""
+    g = Graph()
+    states = [g.add_state(i) for i in range(n_states)]
+    out = (1.0 - self_loop) / max(n_states - 1, 1)
+    for s in states:
+        for t in states:
+            g.add_arc(s, t, self_loop if s == t else out)
+        g.set_init(s)
+        g.set_final(s, 0.1)
+    g.normalize()
+    return g
+
+
 def phone_loop_graph(
     n_units: int,
     states_per_unit: int,

@@ -168,6 +168,13 @@ class HMM(DiscreteLatentModel):
             new = new.replace(trans_alpha_post=new_post)
         return new
 
+    def mean_field_factorization(self):
+        """Coordinate-ascent groups: emissions, then transitions (if
+        Bayesian) — the reference's q(θ_emis)·q(A) factorization."""
+        if self.trans_alpha_post is None:
+            return [["modelset"]]
+        return [["modelset"], ["trans_alpha_post"]]
+
     # ------------------------------------------------------------------
     def expected_transition_counts(self, cache: Dict[str, Any]) -> jnp.ndarray:
         """E[#transitions i→j] summed over the batch, (S, S)."""

@@ -49,6 +49,9 @@ class PhoneLoop(DiscreteLatentModel):
     modelset: Any                  # emissions over U*P pdfs
     unit_prior: Any                # SBCategorical / Categorical over U units
     base_log_trans: jnp.ndarray    # (S, S) within-unit transitions only
+    # per-unit E[log exit] of each end state (set by the GSM transition
+    # write-back); None = derive from the static self_loop as created
+    log_exit: Optional[jnp.ndarray] = None
     n_units: int = struct.field(pytree_node=False, default=1)
     states_per_unit: int = struct.field(pytree_node=False, default=1)
     self_loop: float = struct.field(pytree_node=False, default=0.5)
@@ -106,7 +109,11 @@ class PhoneLoop(DiscreteLatentModel):
     def _effective_graph(self) -> CompiledGraph:
         dtype = self.base_log_trans.dtype
         elogw = self.unit_prior.expected_log_weights().astype(dtype)  # (U,)
-        loop_block = self._log_exit() + elogw[None, :]
+        if self.log_exit is not None:
+            log_exit = self.log_exit.astype(dtype)            # (U,)
+        else:
+            log_exit = jnp.full(self.n_units, self._log_exit(), dtype)
+        loop_block = log_exit[:, None] + elogw[None, :]
         trans = self.base_log_trans.at[
             self._ends[:, None], self._starts[None, :]
         ].set(loop_block)
@@ -114,7 +121,7 @@ class PhoneLoop(DiscreteLatentModel):
         final = (
             jnp.full(self.n_states, LOG_ZERO, dtype)
             .at[self._ends]
-            .set(self._log_exit())
+            .set(log_exit)
         )
         return CompiledGraph(
             log_init=init,
@@ -180,6 +187,11 @@ class PhoneLoop(DiscreteLatentModel):
             modelset=self.modelset.vb_update(acc["modelset"], lrate),
             unit_prior=self.unit_prior.vb_update(acc["unit_prior"], lrate),
         )
+
+    def mean_field_factorization(self):
+        """Coordinate-ascent groups: emissions, then the unit prior —
+        the q(θ_emis)·q(π) mean-field split of the AUD papers."""
+        return [["modelset"], ["unit_prior"]]
 
     # ------------------------------------------------------------------
     def decode(self, data: jnp.ndarray, mask: Optional[jnp.ndarray] = None):

@@ -5,18 +5,23 @@ per-iteration XLA loop overhead and bounces the carry through HBM-visible
 buffers every step; here the whole T-loop is ONE kernel:
 
 * grid over time with **time-major (T, B, S) layout** (so each block is
-  (1, B, S) — last two dims satisfy the TPU (8, 128) tiling rule);
+  (K, B, S) — last two dims satisfy the TPU (8, 128) tiling rule);
   Pallas auto-pipelines the e_llh/mask tiles (HBM→VMEM double-buffering)
   while the MXU runs the (B, S) @ (S, S) step matmul,
+* **K = STEPS_PER_BLOCK time steps run inside one kernel invocation**
+  (unrolled), so the per-grid-step dispatch/semaphore overhead — the
+  dominant cost at small S — is paid once per K steps instead of every
+  step,
 * the carry (normalized probabilities + per-sequence log-scale) lives in
   VMEM scratch across grid steps — it never touches HBM,
 * per step the only transcendental is one log on the (B, 1) normalizer
   (the scaled-algorithm formulation of ``semiring_scan._scaled_pass``).
 
 The backward recursion reuses the kernel shape with reversed block index
-maps and the transposed transition matrix.  Exact jnp fallback:
-``semiring_scan._scaled_pass`` (tests assert agreement in interpret
-mode); callers pass batch-major (B, T, S) and transposes happen here.
+maps (time descending inside each block) and the transposed transition
+matrix.  Exact jnp fallback: ``semiring_scan._scaled_pass`` (tests assert
+agreement in interpret mode); callers pass batch-major (B, T, S) and
+transposes happen here.
 """
 
 from __future__ import annotations
@@ -28,94 +33,150 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _fwd_kernel(e_ref, m_ref, trans_ref, init_ref,
-                prob_out, logc_out, carry_p, carry_c):
-    t = pl.program_id(0)
-    tiny = jnp.finfo(jnp.float32).tiny
-
-    @pl.when(t == 0)
-    def _():
-        carry_p[:] = init_ref[:].astype(jnp.float32)
-        carry_c[:] = jnp.zeros_like(carry_c)
-
-    prev_p = carry_p[:]
-    prev_c = carry_c[:]
-    propagated = jnp.dot(
-        prev_p, trans_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    base = jnp.where(t == 0, prev_p, propagated)
-    raw = base * e_ref[0].astype(jnp.float32)            # (B, S)
-    norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
-    new_p = raw / norm
-    new_c = prev_c + jnp.log(norm)
-    keep = jnp.where(t == 0, 1.0, m_ref[0].astype(jnp.float32))  # (B, 1)
-    out_p = keep * new_p + (1.0 - keep) * prev_p
-    out_c = keep * new_c + (1.0 - keep) * prev_c
-    carry_p[:] = out_p
-    carry_c[:] = out_c
-    prob_out[0] = out_p.astype(prob_out.dtype)
-    logc_out[0] = out_c.astype(logc_out.dtype)
+# time steps per kernel invocation.  Scoped VMEM measured on a v5e
+# fits (27 + 6.7·K) · B·S·4 bytes (double-buffered e/prob/logc tiles +
+# carry scratch + constant overheads); the per-kernel limit is raised to
+# 100 MB below (v5e core VMEM = 128 MB), leave headroom.
+STEPS_PER_BLOCK = 8
+_VMEM_BUDGET = 80 * 1024 * 1024
 
 
-def _bwd_kernel(e_ref, m_ref, trans_t_ref, final_ref,
-                prob_out, logc_out, carry_p, carry_c):
-    """Backward: β̂ carries; step multiplies by e at t+1 *before* the matmul."""
-    g = pl.program_id(0)
-    tiny = jnp.finfo(jnp.float32).tiny
-
-    @pl.when(g == 0)
-    def _():
-        f = final_ref[:].astype(jnp.float32)
-        norm0 = jnp.maximum(f.sum(-1, keepdims=True), tiny)
-        carry_p[:] = f / norm0
-        carry_c[:] = jnp.log(norm0)
-
-    prev_p = carry_p[:]
-    prev_c = carry_c[:]
-    v = prev_p * e_ref[0].astype(jnp.float32)
-    raw = jnp.dot(v, trans_t_ref[:], preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST)
-    norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
-    new_p = raw / norm
-    new_c = prev_c + jnp.log(norm)
-    keep = jnp.where(g == 0, 0.0, m_ref[0].astype(jnp.float32))
-    out_p = keep * new_p + (1.0 - keep) * prev_p
-    out_c = keep * new_c + (1.0 - keep) * prev_c
-    carry_p[:] = out_p
-    carry_c[:] = out_c
-    prob_out[0] = out_p.astype(prob_out.dtype)
-    logc_out[0] = out_c.astype(logc_out.dtype)
+def _steps_per_block(b: int, s: int) -> int:
+    k = STEPS_PER_BLOCK
+    while k > 1 and (27 + 6.7 * k) * b * s * 4 > _VMEM_BUDGET:
+        k //= 2
+    return k
 
 
-def _call(kernel, e_tm, m_tm, trans, vec, index_map, interpret=False):
-    t_len, b, s = e_tm.shape
+def _make_fwd_kernel(k_steps: int):
+    def kernel(e_ref, m_ref, trans_ref, init_ref,
+               prob_out, logc_out, carry_p, carry_c):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            carry_p[:] = init_ref[:].astype(jnp.float32)
+            carry_c[:] = jnp.zeros_like(carry_c)
+
+        p = carry_p[:]
+        c = carry_c[:]
+        trans = trans_ref[:]
+        for k in range(k_steps):
+            propagated = jnp.dot(
+                p, trans, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if k == 0:
+                base = jnp.where(pid == 0, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_ref[k].astype(jnp.float32)    # (B, S)
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            new_c = c + jnp.log(norm)
+            keep = m_ref[k].astype(jnp.float32)          # (B, 1)
+            if k == 0:
+                keep = jnp.where(pid == 0, 1.0, keep)    # t=0 always fires
+            p = keep * new_p + (1.0 - keep) * p
+            c = keep * new_c + (1.0 - keep) * c
+            prob_out[k] = p.astype(prob_out.dtype)
+            logc_out[k] = c.astype(logc_out.dtype)
+        carry_p[:] = p
+        carry_c[:] = c
+
+    return kernel
+
+
+def _make_bwd_kernel(k_steps: int, n_blocks: int, t_len: int):
+    """Backward: β̂ carries; step multiplies by e at t+1 *before* the
+    matmul.  Block ``pid`` covers absolute times
+    [(n_blocks-1-pid)·K, …+K); inside, k runs K-1 → 0 (time descending).
+    """
+
+    def kernel(e_ref, m_ref, trans_t_ref, final_ref,
+               prob_out, logc_out, carry_p, carry_c):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            norm0 = jnp.maximum(f.sum(-1, keepdims=True), tiny)
+            carry_p[:] = f / norm0
+            carry_c[:] = jnp.log(norm0)
+
+        p = carry_p[:]
+        c = carry_c[:]
+        trans_t = trans_t_ref[:]
+        base_t = (n_blocks - 1 - pid) * k_steps
+        for k in range(k_steps - 1, -1, -1):
+            v = p * e_ref[k].astype(jnp.float32)
+            raw = jnp.dot(
+                v, trans_t, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            new_c = c + jnp.log(norm)
+            keep = m_ref[k].astype(jnp.float32)
+            # t = T-1 keeps the final vector (no e consumed); padded tail
+            # rows (t >= T-1) already carry mask 0 from the shift
+            keep = jnp.where(base_t + k >= t_len - 1, 0.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            c = keep * new_c + (1.0 - keep) * c
+            prob_out[k] = p.astype(prob_out.dtype)
+            logc_out[k] = c.astype(logc_out.dtype)
+        carry_p[:] = p
+        carry_c[:] = c
+
+    return kernel
+
+
+def _call(kernel, e_tm, m_tm, trans, vec, index_map, k_steps,
+          interpret=False):
+    t_pad, b, s = e_tm.shape
+    n_blocks = t_pad // k_steps
     dtype = e_tm.dtype
     probs, logcs = pl.pallas_call(
         kernel,
-        grid=(t_len,),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, b, s), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_steps, b, s), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_steps, b, 1), index_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((s, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, b, s), index_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 1), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_steps, b, s), index_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_steps, b, 1), index_map, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((t_len, b, s), dtype),
-            jax.ShapeDtypeStruct((t_len, b, 1), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, s), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
         ],
+        # the default scoped-VMEM limit is 16 MB; a v5e core has 128 MB —
+        # raise it so multi-step blocks fit at bench shapes (B·S ≈ 75k)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(e_tm, m_tm, trans, vec)
     return probs, logcs
+
+
+def _pad_time(x, t_pad, fill):
+    b, t_len = x.shape[0], x.shape[1]
+    if t_pad == t_len:
+        return x
+    pad_shape = (b, t_pad - t_len) + x.shape[2:]
+    return jnp.concatenate(
+        [x, jnp.full(pad_shape, fill, x.dtype)], axis=1
+    )
 
 
 def forward_pass(e_llh, trans, init_vec, mask, interpret: bool = False):
@@ -124,41 +185,48 @@ def forward_pass(e_llh, trans, init_vec, mask, interpret: bool = False):
     Inputs batch-major: e_llh (B, T, S), mask (B, T); outputs likewise.
     """
     b, t_len, s = e_llh.shape
-    e_tm = jnp.swapaxes(e_llh, 0, 1)                     # (T, B, S)
-    m_tm = jnp.swapaxes(mask, 0, 1)[..., None]           # (T, B, 1)
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    # padded steps: mask 0 ⇒ carry copies through; outputs sliced away
+    e_p = _pad_time(e_llh, t_pad, 1.0)
+    m_p = _pad_time(mask, t_pad, 0.0)
+    e_tm = jnp.swapaxes(e_p, 0, 1)                       # (T', B, S)
+    m_tm = jnp.swapaxes(m_p, 0, 1)[..., None]            # (T', B, 1)
     probs, logcs = _call(
-        _fwd_kernel, e_tm, m_tm, trans, init_vec, lambda t: (t, 0, 0),
-        interpret,
+        _make_fwd_kernel(k_steps), e_tm, m_tm, trans, init_vec,
+        lambda t: (t, 0, 0), k_steps, interpret,
     )
-    probs = jnp.swapaxes(probs, 0, 1)
-    logcs = jnp.swapaxes(logcs[..., 0], 0, 1)
+    probs = jnp.swapaxes(probs, 0, 1)[:, :t_len]
+    logcs = jnp.swapaxes(logcs[..., 0], 0, 1)[:, :t_len]
     return probs, logcs, (probs[:, -1], logcs[:, -1])
 
 
 def backward_pass(e_llh, trans, final_vec, mask, interpret: bool = False):
     """Scaled backward; semantics of ``_scaled_pass(reverse=True)``.
 
-    The kernel walks t = T−1 … 0 via reversed index maps; step g consumes
-    e_llh/mask at time t+1, so both are fed shifted by one frame (with a
-    dummy tail tile that g=0 never reads thanks to the ``keep`` select).
+    The kernel walks blocks of time in reverse; step t consumes e_llh and
+    mask at t+1, so both are fed shifted by one frame (the shifted tail
+    row carries mask 0, and rows at t ≥ T−1 keep the carry).
     """
     b, t_len, s = e_llh.shape
     dtype = e_llh.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
     e_shift = jnp.concatenate(
-        [e_llh[:, 1:], jnp.ones((b, 1, s), dtype)], axis=1
+        [e_llh[:, 1:], jnp.ones((b, t_pad - t_len + 1, s), dtype)], axis=1
     )
     m_shift = jnp.concatenate(
-        [mask[:, 1:], jnp.zeros((b, 1), mask.dtype)], axis=1
+        [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
     )
     e_tm = jnp.swapaxes(e_shift, 0, 1)
     m_tm = jnp.swapaxes(m_shift, 0, 1)[..., None]
-    nt = t_len
+    n_blocks = t_pad // k_steps
     probs, logcs = _call(
-        _bwd_kernel, e_tm, m_tm, trans.T, final_vec,
-        lambda g: (nt - 1 - g, 0, 0), interpret,
+        _make_bwd_kernel(k_steps, n_blocks, t_len), e_tm, m_tm, trans.T,
+        final_vec, lambda g: (n_blocks - 1 - g, 0, 0), k_steps, interpret,
     )
-    probs = jnp.swapaxes(probs, 0, 1)
-    logcs = jnp.swapaxes(logcs[..., 0], 0, 1)
+    probs = jnp.swapaxes(probs, 0, 1)[:, :t_len]
+    logcs = jnp.swapaxes(logcs[..., 0], 0, 1)[:, :t_len]
     return probs, logcs, None
 
 

@@ -33,6 +33,7 @@ real frames.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -44,6 +45,27 @@ _NEG_INF = -1e30  # avoids (-inf) - (-inf) = nan in masked/unreachable states
 class FBResult(NamedTuple):
     log_alpha: jnp.ndarray   # (B, T, S)
     log_beta: jnp.ndarray    # (B, T, S)
+    log_z: jnp.ndarray       # (B,)
+    posteriors: jnp.ndarray  # (B, T, S), zero on padded frames
+
+
+class FBProbs(NamedTuple):
+    """Probability-space smoothing result (the training hot path).
+
+    ``probs_fwd`` / ``probs_bwd`` are the *per-frame-normalized* scaled
+    recursion carries α̂/β̂; together with ``e_llh`` they carry all the
+    per-frame information of (log α, log β) up to per-(b, t) constants —
+    enough for posteriors and ξ-counts with **no (B, T, S) log/exp
+    passes and no log_α/log_β materialization**:
+
+      γ_t   = α̂_t·β̂_t / Σ_s α̂_t·β̂_t
+      ξ_t   ∝ outer(α̂_t, normalize(e_llh·β̂)_{t+1}) ⊙ A   (exact after
+              the uᵀAw renormalization of expected_transition_counts)
+    """
+
+    probs_fwd: jnp.ndarray   # (B, T, S)
+    probs_bwd: jnp.ndarray   # (B, T, S)
+    e_llh: jnp.ndarray       # (B, T, S) = exp(llh − per-frame max); 1 on pads
     log_z: jnp.ndarray       # (B,)
     posteriors: jnp.ndarray  # (B, T, S), zero on padded frames
 
@@ -205,18 +227,57 @@ def _scaled_pass(e_llh, trans, init_vec, mask, reverse: bool):
     return probs, logcs, carry
 
 
+def _make_pallas_diffable(reverse: bool):
+    """Pallas pass wrapped in ``custom_vjp``: kernel forward, jnp backward.
+
+    The Pallas kernels have no JVP rule, but callers may differentiate
+    through the recursions (the sequence SVAE's encoder gradient needs
+    ∂log Z/∂llh).  The VJP recomputes the pass with the differentiable
+    ``_scaled_pass`` scan — bit-equivalent semantics, and the backward
+    only runs when something actually differentiates through the pass.
+    """
+
+    @jax.custom_vjp
+    def run(e_llh, trans, vec, mask):
+        from beer_tpu.ops import pallas_scan
+
+        fn = pallas_scan.backward_pass if reverse else pallas_scan.forward_pass
+        probs, logcs, _ = fn(e_llh, trans, vec, mask)
+        return probs, logcs
+
+    def fwd(e_llh, trans, vec, mask):
+        return run(e_llh, trans, vec, mask), (e_llh, trans, vec, mask)
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(
+            lambda e, t, v, m: _scaled_pass(e, t, v, m, reverse)[:2], *res
+        )
+        return vjp(ct)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+_PALLAS_FWD = _make_pallas_diffable(False)
+_PALLAS_BWD = _make_pallas_diffable(True)
+
+
 def _select_pass(trans):
     """Pallas fused kernel on TPU (shared graphs); jnp scan elsewhere.
 
     Per-utterance (B, S, S) transition matrices fall back to the scan —
-    the kernel keeps one (S, S) matrix resident in VMEM.
+    the kernel keeps one (S, S) matrix resident in VMEM.  Both paths
+    return ``(probs, logcs, (last_prob, last_logc))``; the last-valid
+    values equal the final stored row because masked steps copy the
+    carry into the outputs.
     """
     from beer_tpu.ops import pallas_scan
 
     if trans.ndim == 2 and pallas_scan.available():
         def run(e_llh, trans, vec, mask, reverse):
-            fn = pallas_scan.backward_pass if reverse else pallas_scan.forward_pass
-            return fn(e_llh, trans, vec, mask)
+            f = _PALLAS_BWD if reverse else _PALLAS_FWD
+            probs, logcs = f(e_llh, trans, vec, mask)
+            return probs, logcs, (probs[:, -1], logcs[:, -1])
 
         return run
     return _scaled_pass
@@ -349,27 +410,68 @@ def forward_assoc(
     log_trans: jnp.ndarray,
     log_init: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    chunk: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """log_alpha via ``lax.associative_scan`` over transition operators.
 
-    Materializes (B, T, S, S) operators — use for long sequences / small
-    state spaces (the CP analogue of SURVEY §5.7); the sequential scan is
-    the default elsewhere.
+    ``chunk=None`` materializes (B, T, S, S) operators — fine for
+    moderate T·S².  ``chunk=C`` bounds memory at (B, C, S, S) (SURVEY §7
+    "blockwise scan": sequential ``lax.scan`` over T/C blocks, O(log C)
+    associative scan within each block) — the long-sequence /
+    small-state CP analogue of SURVEY §5.7.
     """
     b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
-    # Operator for step t>0: M_t[i, j] = log A[i, j] + llh[t, j]; padded
-    # steps use the identity operator (0 diag, -inf off-diag).
-    ops = log_trans[None, None] + llh[:, :, None, :]
     eye = jnp.where(jnp.eye(s, dtype=bool), 0.0, _NEG_INF).astype(llh.dtype)
-    ops = jnp.where(mask[:, :, None, None] > 0, ops, eye[None, None])
-    # Fold the init into the t=0 operator: row i -> alpha_0 (same for all i).
-    alpha0 = _clamp(log_init + llh[:, 0])  # (B, S)
-    ops = ops.at[:, 0].set(jnp.broadcast_to(alpha0[:, None, :], (b, s, s)))
-    prefix = jax.lax.associative_scan(_semiring_matmul, ops, axis=1)
-    # alpha_t = prefix_t[i, :] for any i (t=0 row was constant in i).
-    log_alpha = prefix[:, :, 0, :]
+
+    if chunk is None or chunk >= t_len:
+        # Operator for step t>0: M_t[i, j] = log A[i, j] + llh[t, j];
+        # padded steps use the identity operator (0 diag, -inf off-diag).
+        ops = log_trans[None, None] + llh[:, :, None, :]
+        ops = jnp.where(mask[:, :, None, None] > 0, ops, eye[None, None])
+        # Fold the init into the t=0 operator: row i -> alpha_0 (constant).
+        alpha0 = _clamp(log_init + llh[:, 0])  # (B, S)
+        ops = ops.at[:, 0].set(jnp.broadcast_to(alpha0[:, None, :], (b, s, s)))
+        prefix = jax.lax.associative_scan(_semiring_matmul, ops, axis=1)
+        # alpha_t = prefix_t[i, :] for any i (t=0 row was constant in i).
+        log_alpha = prefix[:, :, 0, :]
+    else:
+        n_chunks = -(-t_len // chunk)
+        pad = n_chunks * chunk - t_len
+        llh_p = jnp.pad(llh, ((0, 0), (0, pad), (0, 0)))
+        mask_p = jnp.pad(mask, ((0, 0), (0, pad)))
+        # t=0 is handled by a rows-constant operator + a carry whose
+        # logsumexp is 0 (−log S per state), so alpha_0 comes out exact.
+        alpha0 = _clamp(log_init + llh_p[:, 0])
+        carry0 = jnp.full((b, s), -math.log(s), llh.dtype)
+
+        llh_c = llh_p.reshape(b, n_chunks, chunk, s).swapaxes(0, 1)
+        mask_c = mask_p.reshape(b, n_chunks, chunk).swapaxes(0, 1)
+        first = jnp.broadcast_to(alpha0[:, None, :], (b, s, s))
+
+        def block(carry, inp):
+            i, llh_b, m_b = inp              # (B, C, S), (B, C)
+            ops = log_trans[None, None] + llh_b[:, :, None, :]
+            ops = jnp.where(m_b[:, :, None, None] > 0, ops, eye[None, None])
+            ops = jnp.where(
+                (i == 0) & (jnp.arange(chunk) == 0)[None, :, None, None],
+                first[:, None], ops,
+            )
+            prefix = jax.lax.associative_scan(_semiring_matmul, ops, axis=1)
+            # alpha within block: carry ⊗ prefix (log mat-vec per t)
+            alpha_b = jax.scipy.special.logsumexp(
+                carry[:, None, :, None] + prefix, axis=2
+            )
+            return alpha_b[:, -1], alpha_b
+
+        _, blocks = jax.lax.scan(
+            block, carry0,
+            (jnp.arange(n_chunks), llh_c, mask_c),
+        )                                     # (nc, B, C, S)
+        log_alpha = blocks.swapaxes(0, 1).reshape(b, n_chunks * chunk, s)
+        log_alpha = log_alpha[:, :t_len]
+
     last = (mask.sum(1) - 1).astype(jnp.int32)
     alpha_last = jnp.take_along_axis(
         log_alpha, last[:, None, None].repeat(s, -1), axis=1

@@ -21,11 +21,23 @@ import jax.numpy as jnp
 from flax import serialization
 
 
+class _StrippedLeaf:
+    """Skeleton placeholder for an array leaf (picklable sentinel).
+
+    A dedicated class — NOT ``None`` — so optional model fields that are
+    genuinely ``None`` (empty subtrees, e.g. ``PhoneLoop.log_exit``)
+    survive the round trip instead of being miscounted as leaves.
+    """
+
+
+_LEAF = _StrippedLeaf()
+
+
 def save_model(model, path) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     leaves, treedef = jax.tree.flatten(model)
-    skeleton = jax.tree.unflatten(treedef, [None] * len(leaves))
+    skeleton = jax.tree.unflatten(treedef, [_LEAF] * len(leaves))
     payload = {
         "skeleton": pickle.dumps(skeleton),
         "arrays": serialization.to_bytes([jnp.asarray(leaf) for leaf in leaves]),
@@ -39,8 +51,12 @@ def load_model(path):
         payload = pickle.load(fh)
     skeleton = pickle.loads(payload["skeleton"])
     leaves, treedef = jax.tree.flatten(
-        skeleton, is_leaf=lambda x: x is None
+        skeleton, is_leaf=lambda x: isinstance(x, _StrippedLeaf)
     )
+    if not leaves:  # legacy checkpoint: leaves were stripped to None
+        leaves, treedef = jax.tree.flatten(
+            skeleton, is_leaf=lambda x: x is None
+        )
     template = [jnp.zeros(()) for _ in leaves]
     arrays = serialization.from_bytes(template, payload["arrays"])
     # from_bytes yields numpy arrays; promote so loaded models jit cleanly

@@ -1,21 +1,31 @@
 """Benchmark: VB E-step throughput (the BASELINE primary metric).
 
-Workload: the phone-loop HMM E-step of BASELINE config 4 — sufficient
-statistics → expected log-likelihood → forward-backward → statistics
-accumulation — on a realistic AUD shape: 39-dim features (MFCC+Δ+Δ²),
-50 units × 3 states = 150 diagonal-covariance Gaussian pdfs, batch of
-padded utterances.
+Covers BASELINE configs 1-4 (BASELINE.md "Measurement protocol"):
 
-Numerator: beer_tpu jitted E-step on the default JAX device (the TPU
-chip under the driver).  Denominator: the reference's algorithm in CPU
-PyTorch — vectorized ELLH matmul but the per-utterance sequential
-``for t in range(T)`` forward-backward loop the reference runs
-(SURVEY.md §3.2), measured on a subset and scaled per-frame.
+* config 1 — Bayesian GMM VB-EM (full covariance, K components),
+* config 2 — plain Bayesian HMM E-step (shared ergodic graph),
+* config 3 — supervised HMM recognizer (per-utterance transcription
+  graphs, MixtureSet emissions),
+* config 4 — phone-loop AUD E-step (the headline metric): sufficient
+  statistics → ELLH → forward-backward → accumulation on a realistic
+  AUD shape (39-dim MFCC+Δ+Δ², 50 units × 3 states).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+Numerator: beer_tpu jitted steps on the default JAX device (the TPU
+chip under the driver).  Denominator: the same algorithm in CPU PyTorch
+the way the reference runs it (vectorized ELLH; per-utterance sequential
+``for t in range(T)`` recursions for the HMM configs — SURVEY.md §3.2),
+measured on a subset and scaled per-frame.
+
+Prints ONE JSON line.  The headline metric stays the phone-loop E-step;
+the per-config results (value, vs_baseline, estimated MFU) ride in the
+``configs`` field:
+
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+   "configs": {"gmm": {...}, "hmm": {...}, "recognizer": {...},
+               "phone_loop": {...}}}
 """
 
+import argparse
 import json
 import sys
 import time
@@ -26,17 +36,35 @@ B, T, D = 512, 500, 39
 N_UNITS, STATES_PER_UNIT = 50, 3
 S = N_UNITS * STATES_PER_UNIT
 SEED = 0
+# v5e single-chip peak (bf16); MFU figures are estimates against this
+PEAK_FLOPS = 197e12
 
 
-def make_data():
+def make_data(b=None, t=None, d=None):
+    b, t, d = b or B, t or T, d or D
     rng = np.random.default_rng(SEED)
-    data = rng.normal(size=(B, T, D)).astype(np.float32)
-    lengths = rng.integers(T // 2, T + 1, size=B)
-    mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)
+    data = rng.normal(size=(b, t, d)).astype(np.float32)
+    lengths = rng.integers(t // 2, t + 1, size=b)
+    mask = (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)
     return data, mask
 
 
-def bench_beer_tpu(data, mask, outer=4, inner=20):
+def _time_epochs(train_epochs, model, x, m, outer, frames_per_epoch, inner):
+    """Compile + warm up, then time `outer` calls fetching to host."""
+    model2, elbo = train_epochs(model, x, m)
+    float(elbo)
+    t0 = time.time()
+    for _ in range(outer):
+        model2, elbo = train_epochs(model, x, m)
+        float(elbo)
+    dt = time.time() - t0
+    return frames_per_epoch * outer * inner / dt, float(elbo)
+
+
+# ----------------------------------------------------------------------
+# config 4: phone-loop AUD E-step (headline)
+# ----------------------------------------------------------------------
+def bench_phone_loop(data, mask, outer=4, inner=20):
     import jax
     import jax.numpy as jnp
 
@@ -51,8 +79,7 @@ def bench_beer_tpu(data, mask, outer=4, inner=20):
     loop = PhoneLoop.create(N_UNITS, STATES_PER_UNIT, nset)
     x, m = jnp.asarray(data), jnp.asarray(mask)
 
-    # The realistic workload (BASELINE: "epoch ELBO wall-clock"): `inner`
-    # full VB-EM epochs chained in one jitted scan, so host/tunnel
+    # `inner` full VB-EM epochs chained in one jitted scan so host/tunnel
     # round-trip latency is amortized over real training work.  Timing
     # fetches the final ELBO to host each call — block_until_ready alone
     # does not round-trip the axon tunnel and yields absurd numbers.
@@ -64,18 +91,12 @@ def bench_beer_tpu(data, mask, outer=4, inner=20):
         model, elbos = jax.lax.scan(body, model, None, length=inner)
         return model, elbos[-1]
 
-    loop, elbo = train_epochs(loop, x, m)  # compile + warmup
-    float(elbo)
-    t0 = time.time()
-    for _ in range(outer):
-        loop, elbo = train_epochs(loop, x, m)
-        float(elbo)
-    dt = time.time() - t0
-    frames = float(mask.sum()) * outer * inner
-    return frames / dt, float(elbo)
+    return _time_epochs(
+        train_epochs, loop, x, m, outer, float(mask.sum()), inner
+    )
 
 
-def bench_torch_reference(data, mask, n_utts=8):
+def torch_phone_loop(data, mask, n_utts=8):
     """The reference algorithm in CPU torch: per-utterance sequential loop."""
     import torch
 
@@ -88,7 +109,6 @@ def bench_torch_reference(data, mask, n_utts=8):
         [e_lam, e_lam * e_mu, e_lam * e_mu**2, np.log(e_lam)], axis=1
     ).astype(np.float32)
     e_stats_t = torch.tensor(e_stats)
-    e_log_w = torch.zeros(S)
 
     # phone-loop transition structure (same as beer_tpu graph)
     lt = torch.full((S, S), -1e30)
@@ -105,21 +125,26 @@ def bench_torch_reference(data, mask, n_utts=8):
     li[starts] = -np.log(N_UNITS)
     lf = torch.full((S,), -1e30)
     lf[ends] = np.log(0.25)
+    return _torch_fb_loop(data, mask, e_stats_t, lt, li, lf, n_utts)
 
+
+def _torch_fb_loop(data, mask, e_stats_t, lt, li, lf, n_utts):
+    import torch
+
+    s = lt.shape[0]
+    d = data.shape[-1]
     total_frames = 0
     t0 = time.time()
     for b in range(n_utts):
         ln = int(mask[b].sum())
         x = torch.tensor(data[b, :ln])
-        # sufficient statistics + ELLH (vectorized, like the reference)
         stats = torch.cat(
             [-0.5 * x**2, x, -0.5 * torch.ones_like(x), 0.5 * torch.ones_like(x)],
             dim=1,
         )
-        llh = stats @ e_stats_t.T - 0.5 * D * np.log(2 * np.pi)
-        # sequential forward-backward (the reference hot loop)
-        log_alpha = torch.empty(ln, S)
-        log_beta = torch.empty(ln, S)
+        llh = stats @ e_stats_t.T - 0.5 * d * np.log(2 * np.pi)
+        log_alpha = torch.empty(ln, s)
+        log_beta = torch.empty(ln, s)
         log_alpha[0] = li + llh[0]
         for t in range(1, ln):
             log_alpha[t] = llh[t] + torch.logsumexp(
@@ -132,28 +157,257 @@ def bench_torch_reference(data, mask, n_utts=8):
             )
         log_z = torch.logsumexp(log_alpha[-1] + lf, dim=0)
         post = torch.exp(log_alpha + log_beta - log_z)
-        acc = post.T @ stats  # accumulate emission stats
+        _ = post.T @ stats  # accumulate emission stats
         total_frames += ln
     dt = time.time() - t0
     return total_frames / dt
 
 
+# ----------------------------------------------------------------------
+# config 1: Bayesian GMM VB-EM (full covariance)
+# ----------------------------------------------------------------------
+GMM_K = 64
+
+
+def bench_gmm(data, outer=4, inner=10):
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+    from beer_tpu.vbi import vb_step
+
+    flat = data.reshape(-1, D)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), size=GMM_K, cov_type="full",
+        noise_std=0.5, key=jax.random.PRNGKey(2),
+    )
+    gmm = beer_tpu.Mixture.create(nset)
+    x = jnp.asarray(flat)
+
+    @jax.jit
+    def train_epochs(model, x, _unused):
+        def body(model, _):
+            elbo, model = vb_step(model, x)
+            return model, elbo
+        model, elbos = jax.lax.scan(body, model, None, length=inner)
+        return model, elbos[-1]
+
+    return _time_epochs(
+        train_epochs, gmm, x, None, outer, float(flat.shape[0]), inner
+    )
+
+
+def torch_gmm(data, n_frames=32768):
+    """Reference GMM VB-EM epoch in CPU torch (vectorized, like beer)."""
+    import torch
+
+    rng = np.random.default_rng(2)
+    flat = torch.tensor(data.reshape(-1, D)[:n_frames])
+    n = flat.shape[0]
+    # expected stats of K full-cov components: [vec(E[Λ])… ] — emulate the
+    # reference's (T, P) @ (P, K) ELLH with P = D² + D + 2
+    p = D * D + D + 2
+    e_stats = torch.tensor(
+        rng.normal(size=(GMM_K, p)).astype(np.float32) * 0.01
+    )
+    t0 = time.time()
+    xx = flat[:, :, None] * flat[:, None, :]
+    stats = torch.cat(
+        [xx.reshape(n, -1), flat, torch.ones(n, 2)], dim=1
+    )
+    llh = stats @ e_stats.T
+    log_w = torch.log_softmax(torch.zeros(GMM_K), dim=0)
+    joint = llh + log_w
+    norm = torch.logsumexp(joint, dim=1, keepdim=True)
+    resps = torch.exp(joint - norm)
+    _ = resps.T @ stats  # accumulate
+    dt = time.time() - t0
+    return n / dt
+
+
+# ----------------------------------------------------------------------
+# config 2: plain Bayesian HMM E-step (shared ergodic graph)
+# ----------------------------------------------------------------------
+HMM_S = 30
+
+
+def bench_hmm(data, mask, outer=4, inner=20):
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+    from beer_tpu.models.graph import ergodic
+    from beer_tpu.models.hmm import HMM
+    from beer_tpu.vbi import vb_step
+
+    g = ergodic(HMM_S)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.ones(D), size=HMM_S, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(3),
+    )
+    hmm = HMM.create(g, nset, learn_transitions=True)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+
+    @jax.jit
+    def train_epochs(model, x, mask):
+        def body(model, _):
+            elbo, model = vb_step(model, x, mask=mask)
+            return model, elbo
+        model, elbos = jax.lax.scan(body, model, None, length=inner)
+        return model, elbos[-1]
+
+    return _time_epochs(
+        train_epochs, hmm, x, m, outer, float(mask.sum()), inner
+    )
+
+
+def torch_hmm(data, mask, n_utts=8):
+    import torch
+
+    rng = np.random.default_rng(3)
+    e_lam = np.abs(rng.normal(1.0, 0.1, size=(HMM_S, D)))
+    e_mu = rng.normal(size=(HMM_S, D))
+    e_stats = torch.tensor(np.concatenate(
+        [e_lam, e_lam * e_mu, e_lam * e_mu**2, np.log(e_lam)], axis=1
+    ).astype(np.float32))
+    lt = torch.full((HMM_S, HMM_S), float(np.log(1.0 / HMM_S)))
+    li = torch.full((HMM_S,), float(-np.log(HMM_S)))
+    lf = torch.zeros(HMM_S)
+    return _torch_fb_loop(data, mask, e_stats, lt, li, lf, n_utts)
+
+
+# ----------------------------------------------------------------------
+# config 3: supervised recognizer (per-utterance graphs)
+# ----------------------------------------------------------------------
+REC_B, REC_T = 128, 300
+REC_PHONES, REC_SPP = 10, 3
+
+
+def bench_recognizer(outer=4, inner=10):
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+    from beer_tpu.models.graph import transcription_graphs
+    from beer_tpu.models.hmm import HMM
+    from beer_tpu.vbi import vb_step
+
+    rng = np.random.default_rng(4)
+    data = rng.normal(size=(REC_B, REC_T, D)).astype(np.float32)
+    mask = np.ones((REC_B, REC_T), np.float32)
+    seqs = [list(rng.integers(REC_PHONES, size=6)) for _ in range(REC_B)]
+    graphs = transcription_graphs(seqs, REC_PHONES, REC_SPP)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.ones(D), size=REC_PHONES * REC_SPP,
+        cov_type="diagonal", noise_std=0.5, key=jax.random.PRNGKey(4),
+    )
+    hmm = HMM.create(graphs, nset)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+
+    @jax.jit
+    def train_epochs(model, x, mask):
+        def body(model, _):
+            elbo, model = vb_step(model, x, mask=mask)
+            return model, elbo
+        model, elbos = jax.lax.scan(body, model, None, length=inner)
+        return model, elbos[-1]
+
+    tput, elbo = _time_epochs(
+        train_epochs, hmm, x, m, outer, float(mask.sum()), inner
+    )
+    return tput, elbo, data, mask, graphs
+
+
+def torch_recognizer(data, mask, n_utts=8):
+    import torch
+
+    rng = np.random.default_rng(4)
+    npdf = REC_PHONES * REC_SPP
+    e_lam = np.abs(rng.normal(1.0, 0.1, size=(npdf, D)))
+    e_mu = rng.normal(size=(npdf, D))
+    e_stats = torch.tensor(np.concatenate(
+        [e_lam, e_lam * e_mu, e_lam * e_mu**2, np.log(e_lam)], axis=1
+    ).astype(np.float32))
+    # left-to-right 6-phone graph per utterance (fresh matrix per utt —
+    # the reference builds per-utterance alignment graphs)
+    s = 6 * REC_SPP
+    lt = torch.full((s, s), -1e30)
+    for i in range(s):
+        lt[i, i] = np.log(0.5)
+        if i + 1 < s:
+            lt[i, i + 1] = np.log(0.5)
+    li = torch.full((s,), -1e30); li[0] = 0.0
+    lf = torch.full((s,), -1e30); lf[-1] = np.log(0.5)
+    # reuse the first s pdf rows as the per-state emissions
+    return _torch_fb_loop(data, mask, e_stats[:s], lt, li, lf, n_utts)
+
+
+# ----------------------------------------------------------------------
+# flops/frame estimates (for the MFU figure; multiply-add = 2 flops)
+# ----------------------------------------------------------------------
+def flops_per_frame(config):
+    if config == "gmm":
+        p = D * D + D + 2
+        return 2 * p * GMM_K * 2 + D * D  # ELLH + accumulate matmuls + xxT
+    if config == "hmm":
+        return 2 * (4 * D) * HMM_S * 2 + 8 * HMM_S * HMM_S
+    if config == "recognizer":
+        s = 6 * REC_SPP
+        return 2 * (4 * D) * (REC_PHONES * REC_SPP) * 2 + 8 * s * s
+    # phone loop: ELLH + accumulate (2·4D·S each) + fwd/bwd/ξ (8·S²)
+    return 2 * (4 * D) * S * 2 + 8 * S * S
+
+
+def entry(config, value, baseline):
+    return {
+        "value": round(value, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(value / baseline, 2),
+        "mfu_pct_of_bf16_peak_est": round(
+            100.0 * value * flops_per_frame(config) / PEAK_FLOPS, 3
+        ),
+    }
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="gmm,hmm,recognizer,phone_loop",
+                    help="comma list of configs to run")
+    args = ap.parse_args()
+    wanted = set(args.configs.split(","))
+
     data, mask = make_data()
-    value, elbo = bench_beer_tpu(data, mask)
-    baseline = bench_torch_reference(data, mask)
+    configs = {}
+
+    if "gmm" in wanted:
+        v, _ = bench_gmm(data)
+        configs["gmm"] = entry("gmm", v, torch_gmm(data))
+    if "hmm" in wanted:
+        v, _ = bench_hmm(data, mask)
+        configs["hmm"] = entry("hmm", v, torch_hmm(data, mask))
+    if "recognizer" in wanted:
+        v, _, rdata, rmask, graphs = bench_recognizer()
+        base = torch_recognizer(rdata, rmask)
+        configs["recognizer"] = entry("recognizer", v, base)
+
+    value, elbo = bench_phone_loop(data, mask)
+    baseline = torch_phone_loop(data, mask)
+    configs["phone_loop"] = entry("phone_loop", value, baseline)
+
     result = {
         "metric": "phone_loop_vb_estep_throughput",
         "value": round(value, 1),
         "unit": "frames/s",
         "vs_baseline": round(value / baseline, 2),
+        "configs": configs,
     }
     print(json.dumps(result))
-    print(
-        f"# beer_tpu: {value:,.0f} frames/s | torch-cpu reference: "
-        f"{baseline:,.0f} frames/s | elbo check: {elbo:.2f}",
-        file=sys.stderr,
-    )
+    for name, c in configs.items():
+        print(
+            f"# {name}: {c['value']:,.0f} frames/s | {c['vs_baseline']}x "
+            f"torch-cpu | ~{c['mfu_pct_of_bf16_peak_est']}% bf16-peak MFU",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,98 @@
+#!/usr/bin/env bash
+# Multilingual subspace-HMM (H-SHMM) recipe.
+#
+# Reference parity: recipes/hshmm/run.sh — the reference's flagship
+# recipe: low-resource acoustic unit discovery where the target
+# language's phone-loop parameters are constrained to a phonetic
+# subspace learned jointly with resourced languages (SHMM Interspeech'19,
+# H-SHMM ICASSP'21).  Stage-gated and restartable like the reference.
+#
+# Languages: A, B resourced (40 utts each), C target (8 utts).  The
+# baseline is a plain phone loop trained on C alone; the H-SHMM
+# alternation (beer shmm train --extra-lang ...) shares one subspace +
+# per-language embeddings across A/B/C and must beat the baseline's NMI
+# on C.
+#
+# Usage: ./run.sh [workdir]   (defaults to exp/)
+
+set -euo pipefail
+cd "$(dirname "$0")"
+
+work=${1:-exp}
+stage_mark() { echo "=== stage $1: $2"; }
+beer() { python -m beer_tpu.cli "$@"; }
+
+mkdir -p "$work"
+
+if [ ! -f "$work/wav_C.scp" ]; then
+  stage_mark 0 "multilingual synthetic data"
+  python local/make_multilingual_data.py "$work"
+fi
+
+for lang in A B C; do
+  if [ ! -f "$work/feats_$lang.npz" ]; then
+    stage_mark 1 "features ($lang)"
+    beer dataset create "$work/wav_$lang.scp" "$work/manifest_$lang.json"
+    beer features extract conf/features.yml "$work/manifest_$lang.json" \
+        "$work/feats_$lang.npz"
+  fi
+done
+
+for lang in A B C; do
+  if [ ! -f "$work/init_$lang.mdl" ]; then
+    stage_mark 2 "phone-loop initialization ($lang)"
+    beer hmm mkphoneloop conf/hmm.yml "$work/feats_$lang.npz" \
+        "$work/init_$lang.mdl"
+  fi
+done
+
+if [ ! -f "$work/baseline_C/final.mdl" ]; then
+  stage_mark 3 "baseline: plain phone loop on target C"
+  beer hmm train "$work/init_C.mdl" "$work/feats_C.npz" \
+      "$work/baseline_C" --epochs 30
+fi
+
+if [ ! -f "$work/trans_baseline_C.txt" ]; then
+  stage_mark 4 "baseline decoding + scoring"
+  beer hmm decode "$work/baseline_C/final.mdl" "$work/feats_C.npz" \
+      "$work/trans_baseline_C.txt" --per-frame
+  python local/score.py "$work/ref_C.ali" "$work/trans_baseline_C.txt" \
+      | tee "$work/score_baseline_C.txt"
+fi
+
+for lang in A B; do
+  if [ ! -f "$work/train_$lang/final.mdl" ]; then
+    stage_mark 5 "resourced-language phone loops ($lang)"
+    beer hmm train "$work/init_$lang.mdl" "$work/feats_$lang.npz" \
+        "$work/train_$lang" --epochs 15
+  fi
+done
+
+if [ ! -f "$work/shmm/final.mdl" ]; then
+  stage_mark 6 "H-SHMM subspace alternation (target C + A + B)"
+  beer shmm train "$work/baseline_C/final.mdl" "$work/feats_C.npz" \
+      "$work/shmm" \
+      --extra-lang "A:$work/train_A/final.mdl:$work/feats_A.npz" \
+      --extra-lang "B:$work/train_B/final.mdl:$work/feats_B.npz" \
+      --embed-dim 4 --lang-dim 2 --learn-transitions \
+      --outer-iters 4 --inner-iters 400 --loop-epochs 3
+fi
+
+if [ ! -f "$work/trans_shmm_C.txt" ]; then
+  stage_mark 7 "H-SHMM decoding + scoring (target C)"
+  beer hmm decode "$work/shmm/final.mdl" "$work/feats_C.npz" \
+      "$work/trans_shmm_C.txt" --per-frame
+  python local/score.py "$work/ref_C.ali" "$work/trans_shmm_C.txt" \
+      | tee "$work/score_shmm_C.txt"
+fi
+
+stage_mark 8 "comparison (target language C)"
+base_nmi=$(grep -o 'NMI: *[0-9.]*' "$work/score_baseline_C.txt" | grep -o '[0-9.]*$')
+shmm_nmi=$(grep -o 'NMI: *[0-9.]*' "$work/score_shmm_C.txt" | grep -o '[0-9.]*$')
+echo "baseline NMI: $base_nmi    H-SHMM NMI: $shmm_nmi"
+python - "$base_nmi" "$shmm_nmi" << 'EOF'
+import sys
+base, shmm = float(sys.argv[1]), float(sys.argv[2])
+print(f"H-SHMM {'BEATS' if shmm > base else 'does NOT beat'} the baseline "
+      f"({shmm:.1f} vs {base:.1f})")
+EOF

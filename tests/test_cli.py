@@ -218,3 +218,71 @@ def test_mkphoneloop_hyperprior(workdir, tmp_path):
     assert cli(["hmm", "train", str(out), str(root / "feats.npz"),
                 str(tmp_path / "exp_hp"), "--epochs", "2",
                 "--single-device"]) == 0
+
+
+def test_minibatch_buckets_and_accumulate(workdir, tmp_path):
+    """--accumulate-batches streams the epoch but matches full-batch VB."""
+    root = workdir
+    full = tmp_path / "full"
+    acc = tmp_path / "acc"
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(full), "--epochs", "3", "--single-device",
+    ]) == 0
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(acc), "--epochs", "3", "--batch-size", "2", "--buckets", "2",
+        "--accumulate-batches", "--single-device",
+    ]) == 0
+    from beer_tpu.utils import load_model
+    import jax
+
+    m_full = load_model(full / "final.mdl")
+    m_acc = load_model(acc / "final.mdl")
+    for a, b in zip(jax.tree.leaves(m_full), jax.tree.leaves(m_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)
+
+
+def test_nan_guard_catches_corruption(workdir, tmp_path):
+    """--nan-guard raises (with location info) on non-finite features."""
+    root = workdir
+    feats = dict(np.load(root / "feats.npz"))
+    first = sorted(feats)[0]
+    feats[first] = feats[first].copy()
+    feats[first][0, 0] = np.nan
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, **feats)
+    import jax.experimental.checkify as checkify
+
+    with pytest.raises(checkify.JaxRuntimeError, match="non-finite"):
+        cli([
+            "hmm", "train", str(root / "init.mdl"), str(bad),
+            str(tmp_path / "guard"), "--epochs", "1", "--single-device",
+            "--nan-guard",
+        ])
+
+
+def test_shmm_multilingual_cli(workdir, tmp_path):
+    """H-SHMM path: --extra-lang switches to a HierarchicalGSM with one
+    shared subspace + per-language embeddings, writes per-language loops."""
+    root = workdir
+    exp = tmp_path / "hshmm"
+    assert cli([
+        "shmm", "train", str(root / "exp" / "final.mdl"),
+        str(root / "feats.npz"), str(exp),
+        "--extra-lang", f"L2:{root / 'exp' / 'final.mdl'}:{root / 'feats.npz'}",
+        "--embed-dim", "2", "--lang-dim", "2", "--learn-transitions",
+        "--outer-iters", "2", "--inner-iters", "40", "--loop-epochs", "1",
+    ]) == 0
+    assert (exp / "final.mdl").exists()
+    assert (exp / "final_L2.mdl").exists()
+    from beer_tpu.models.gsm import HierarchicalGSM
+    from beer_tpu.utils import load_model
+
+    gsm = load_model(exp / "gsm.mdl")
+    assert isinstance(gsm, HierarchicalGSM)
+    assert gsm.n_units == 8 and gsm.n_langs == 2  # 4 units x 2 languages
+    assert gsm.learn_transitions
+    loop = load_model(exp / "final.mdl")
+    assert loop.log_exit is not None  # transition write-back happened

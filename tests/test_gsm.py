@@ -153,3 +153,152 @@ def test_shmm_bridge_roundtrip(rng):
     # only compare states with meaningful occupancy
     occ = np.asarray(counts).reshape(-1)
     assert np.median(err[occ > 20]) < 0.5
+
+
+# ----------------------------------------------------------------------
+# Generalized subspace: moment-matched write-back, transitions, weights,
+# nnet trunk (round-2: VERDICT "general subspace GSM")
+# ----------------------------------------------------------------------
+def _fit_loop(rng, d=3, n_units=4, spp=2, mixture=False, iters=10):
+    import beer_tpu
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.models.mixture import MixtureSet
+    from beer_tpu.vbi import vb_step
+
+    centers = rng.normal(size=(n_units, d)) * 3.0
+    data = np.zeros((8, 40, d)); mask = np.ones((8, 40))
+    for i in range(8):
+        t = 0
+        while t < 40:
+            ph = int(rng.integers(n_units)); dwell = min(int(rng.integers(4, 9)), 40 - t)
+            data[i, t:t+dwell] = centers[ph] + 0.4 * rng.normal(size=(dwell, d))
+            t += dwell
+    flat = data.reshape(-1, d)
+    k = 2 if mixture else 1
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(flat.mean(0)), jnp.asarray(np.diag(flat.var(0))),
+        size=n_units * spp * k, cov_type="diagonal", noise_std=1.0,
+        key=jax.random.PRNGKey(0),
+    )
+    emissions = MixtureSet.create(nset, n_units * spp) if mixture else nset
+    loop = PhoneLoop.create(n_units, spp, emissions)
+    x, m = jnp.asarray(data, jnp.float32), jnp.asarray(mask, jnp.float32)
+    for _ in range(iters):
+        _, loop = jax.jit(vb_step)(loop, x, mask=m)
+    return loop, x, m
+
+
+def test_moment_matched_writeback(rng):
+    """Write-back must reproduce the induced E[T(θ)] moments exactly
+    (the E-step sees the subspace posterior, not a point mass)."""
+    from beer_tpu.models.gsm import (
+        GSM, apply_to_phoneloop, induced_posterior_moments)
+    from beer_tpu.vbi import vb_step
+
+    loop, x, m = _fit_loop(rng)
+    gsm = GSM.create(4, 2, 3, states_per_unit=2, key=jax.random.PRNGKey(1))
+    # non-trivial posterior spread
+    gsm = gsm.replace(e_logvar=jnp.full_like(gsm.e_logvar, -1.5),
+                      w_logvar=jnp.full_like(gsm.w_logvar, -3.0))
+    key = jax.random.PRNGKey(7)
+    mom = induced_posterior_moments(gsm, key, nsamples=512)
+    loop2 = apply_to_phoneloop(gsm, loop, key=key, nsamples=512)
+    et = np.asarray(
+        loop2.modelset.means_precisions.expected_sufficient_statistics()
+    )  # (S, 4D): [E[λ], E[λμ], E[λμ²], E[log λ]]
+    d = 3
+    np.testing.assert_allclose(et[:, :d], np.asarray(mom["e_lam"]).reshape(-1, d), rtol=2e-3)
+    np.testing.assert_allclose(et[:, d:2*d], np.asarray(mom["e_lam_mu"]).reshape(-1, d), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(et[:, 2*d:3*d], np.asarray(mom["e_lam_mu2"]).reshape(-1, d), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(et[:, 3*d:], np.asarray(mom["e_log_lam"]).reshape(-1, d), rtol=2e-3, atol=2e-3)
+    elbo, _ = jax.jit(vb_step)(loop2, x, mask=m)
+    assert np.isfinite(float(elbo))
+
+
+def test_gsm_transition_subspace(rng):
+    """learn_transitions: counts are conserved, ELBO climbs, write-back
+    sets per-state self-loops + per-unit exits and the loop still runs."""
+    from beer_tpu.models.gsm import (
+        GSM, accumulate_unit_stats, apply_to_phoneloop, make_gsm_train_step)
+    from beer_tpu.vbi import vb_step
+
+    loop, x, m = _fit_loop(rng)
+    stats, counts = accumulate_unit_stats(loop, x, m, transitions=True)
+    # every valid frame's transition slot is allocated once
+    total = float(stats["self"].sum() + stats["adv"].sum())
+    np.testing.assert_allclose(total, float(m.sum()), rtol=1e-4)
+
+    gsm = GSM.create(4, 2, 3, states_per_unit=2, learn_transitions=True,
+                     key=jax.random.PRNGKey(2))
+    tx = optax.adam(5e-2)
+    opt_state = tx.init(gsm)
+    step = make_gsm_train_step(tx)
+    key = jax.random.PRNGKey(0)
+    elbos = []
+    for _ in range(400):
+        key, sub = jax.random.split(key)
+        elbo, gsm, opt_state = step(gsm, opt_state, stats, counts, sub)
+        elbos.append(float(elbo))
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
+
+    loop2 = apply_to_phoneloop(gsm, loop, key=key)
+    assert loop2.log_exit is not None and loop2.log_exit.shape == (4,)
+    diag = np.diagonal(np.asarray(loop2.base_log_trans))
+    assert (diag < 0).all()  # valid log self-loop probs
+    elbo, _ = jax.jit(vb_step)(loop2, x, mask=m)
+    assert np.isfinite(float(elbo))
+
+
+def test_gsm_mixture_weights_head(rng):
+    """n_comp>1: subspace generates per-state GMMs incl. weights; the
+    Dirichlet write-back matches E[log w] and the loop still trains."""
+    from beer_tpu.models.gsm import (
+        GSM, accumulate_unit_stats, apply_to_phoneloop, make_gsm_train_step)
+    from beer_tpu.vbi import vb_step
+    from jax.scipy.special import digamma as _dg
+
+    loop, x, m = _fit_loop(rng, mixture=True)
+    stats, counts = accumulate_unit_stats(loop, x, m)
+    assert stats["emission"].shape == (4, 2, 2, 12)
+    assert stats["comp_counts"].shape == (4, 2, 2)
+
+    gsm = GSM.create(4, 2, 3, states_per_unit=2, n_comp=2,
+                     key=jax.random.PRNGKey(3))
+    tx = optax.adam(5e-2)
+    opt_state = tx.init(gsm)
+    step = make_gsm_train_step(tx)
+    key = jax.random.PRNGKey(0)
+    elbos = []
+    for _ in range(300):
+        key, sub = jax.random.split(key)
+        elbo, gsm, opt_state = step(gsm, opt_state, stats, counts, sub)
+        elbos.append(float(elbo))
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
+
+    from beer_tpu.models.gsm import induced_posterior_moments
+    key2 = jax.random.PRNGKey(9)
+    mom = induced_posterior_moments(gsm, key2, nsamples=256)
+    loop2 = apply_to_phoneloop(gsm, loop, key=key2, nsamples=256)
+    # Dirichlet moment match: E[log w] of the written-back weights
+    alpha_nat = loop2.modelset.weights.posterior
+    alpha = np.asarray(alpha_nat) + 1.0  # Dirichlet nat = alpha - 1
+    elw = _dg(alpha) - _dg(alpha.sum(-1, keepdims=True))
+    np.testing.assert_allclose(
+        np.asarray(elw), np.asarray(mom["e_log_w"]).reshape(8, 2), atol=5e-3
+    )
+    elbo, _ = jax.jit(vb_step)(loop2, x, mask=m)
+    assert np.isfinite(float(elbo))
+
+
+def test_gsm_nnet_trunk(rng):
+    """Optional nnet transform (MLP trunk before the variational affine)."""
+    from beer_tpu.models.gsm import GSM
+
+    stats, counts, _, _ = make_unit_stats(rng, n_units=6)
+    gsm = GSM.create(6, 2, 4, trunk="mlp:16:tanh", key=jax.random.PRNGKey(4))
+    assert gsm.trunk_def is not None
+    gsm, elbos = _train(gsm, stats, counts, iters=300)
+    assert np.isfinite(elbos).all()
+    assert np.mean(elbos[-20:]) > np.mean(elbos[:20])

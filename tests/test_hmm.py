@@ -125,6 +125,32 @@ class TestScans:
                 np.asarray(la_seq[i, :ln]), np.asarray(la_par[i, :ln]), rtol=1e-8
             )
 
+    def test_assoc_scan_chunked_matches_sequential(self, rng):
+        """Blockwise chunking (memory-bounded) is exact, incl. ragged
+        chunk tails and chunk sizes that don't divide T."""
+        t_len, s, b = 33, 5, 3
+        lt, li, _ = random_hmm_params(rng, s)
+        llh = rng.normal(size=(b, t_len, s))
+        lengths = np.array([33, 20, 7])
+        mask = (np.arange(t_len)[None] < lengths[:, None]).astype(np.float64)
+        la_seq, last_seq = semiring_scan.forward(
+            jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li), jnp.asarray(mask)
+        )
+        for chunk in (4, 8, 16, 33, 64):
+            la_c, last_c = semiring_scan.forward_assoc(
+                jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li),
+                jnp.asarray(mask), chunk=chunk,
+            )
+            np.testing.assert_allclose(
+                np.asarray(last_seq), np.asarray(last_c), rtol=1e-8,
+                err_msg=f"chunk={chunk}",
+            )
+            for i, ln in enumerate(lengths):
+                np.testing.assert_allclose(
+                    np.asarray(la_seq[i, :ln]), np.asarray(la_c[i, :ln]),
+                    rtol=1e-7, err_msg=f"chunk={chunk} seq={i}",
+                )
+
     def test_masked_batch_equals_per_sequence(self, rng):
         s = 4
         lt, li, lf = random_hmm_params(rng, s)

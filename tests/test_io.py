@@ -74,3 +74,30 @@ def test_convert_npz(archive_path, tmp_path, rng):
     archive = bio.Archive(bar)
     np.testing.assert_array_equal(archive[0], utts["a"])
     np.testing.assert_array_equal(archive[1], utts["b"])
+
+
+def test_batch_loader_buckets(archive_path):
+    """Length bucketing: epoch coverage, per-bucket shapes, exact content."""
+    path, utts = archive_path
+    archive = bio.Archive(path)
+    loader = bio.BatchLoader(archive, batch_size=4, seed=1, buckets=3,
+                             pad_multiple=8)
+    assert len(loader.bucket_indices) >= 2  # 17 utts, 3 quantile buckets
+    seen = []
+    shapes = set()
+    for data, mask in loader:
+        shapes.add(data.shape[1])
+        for b in range(data.shape[0]):
+            n = int(mask[b].sum())
+            # match the batch row back to its utterance by content
+            for k, v in utts.items():
+                if v.shape[0] == n and np.allclose(data[b, :n], v):
+                    seen.append(k)
+                    break
+    assert sorted(seen) == sorted(utts.keys())
+    # more than one distinct padded length, all multiples of 8 (or the cap)
+    assert len(shapes) >= 2
+    lengths = np.array([v.shape[0] for v in utts.values()])
+    assert max(shapes) <= -(-int(lengths.max()) // 8) * 8
+    # short buckets pad less than the corpus max
+    assert min(shapes) < int(lengths.max())
