@@ -465,9 +465,8 @@ def accumulate_unit_stats(loop, data, mask=None, transitions: bool = False):
 
     fb = cache["fb"]
     graph = cache["graph"]
-    xi = semiring_scan.expected_transition_counts(
-        fb.log_alpha, fb.log_beta, cache["llh_states"],
-        graph.log_trans, fb.log_z, mask,
+    xi = semiring_scan.expected_transition_counts_probs(
+        fb, graph.log_trans, mask,
     )                                               # (S, S)
     self_counts = jnp.diagonal(xi).reshape(u, p)
     # advance: within-unit forward arcs for non-final states; for final

@@ -114,7 +114,7 @@ class HMM(DiscreteLatentModel):
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         llh_states = self._state_llh(stats)
         log_trans = self._effective_log_trans()
-        fb = semiring_scan.forward_backward(
+        fb = semiring_scan.forward_backward_probs(
             llh_states,
             log_trans,
             self.graph.log_init,
@@ -145,10 +145,8 @@ class HMM(DiscreteLatentModel):
         flat_stats = stats.reshape((-1,) + stats.shape[2:])
         acc = {"modelset": self.modelset.accumulate(flat_stats, flat_resps)}
         if self.trans_alpha_post is not None:
-            fb = cache["fb"]
-            acc["trans"] = semiring_scan.expected_transition_counts(
-                fb.log_alpha, fb.log_beta, cache["llh_states"],
-                cache["log_trans"], fb.log_z, cache["mask"],
+            acc["trans"] = semiring_scan.expected_transition_counts_probs(
+                cache["fb"], cache["log_trans"], cache["mask"],
             )
         return acc
 
@@ -178,10 +176,8 @@ class HMM(DiscreteLatentModel):
     # ------------------------------------------------------------------
     def expected_transition_counts(self, cache: Dict[str, Any]) -> jnp.ndarray:
         """E[#transitions i→j] summed over the batch, (S, S)."""
-        fb = cache["fb"]
-        return semiring_scan.expected_transition_counts(
-            fb.log_alpha, fb.log_beta, cache["llh_states"],
-            self.graph.log_trans, fb.log_z, cache["mask"],
+        return semiring_scan.expected_transition_counts_probs(
+            cache["fb"], self.graph.log_trans, cache["mask"],
         )
 
     def decode(self, data: jnp.ndarray, mask: Optional[jnp.ndarray] = None):

@@ -139,7 +139,7 @@ class PhoneLoop(DiscreteLatentModel):
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         graph = self._effective_graph()
         llh_states = self.modelset.expected_log_likelihood(stats)
-        fb = semiring_scan.forward_backward(
+        fb = semiring_scan.forward_backward_probs(
             llh_states, graph.log_trans, graph.log_init, graph.log_final, mask
         )
         log_z = fb.log_z
@@ -158,9 +158,8 @@ class PhoneLoop(DiscreteLatentModel):
         """Expected number of times each unit is selected."""
         fb = cache["fb"]
         graph = cache["graph"]
-        xi = semiring_scan.expected_transition_counts(
-            fb.log_alpha, fb.log_beta, cache["llh_states"],
-            graph.log_trans, fb.log_z, cache["mask"],
+        xi = semiring_scan.expected_transition_counts_probs(
+            fb, graph.log_trans, cache["mask"],
             rows=self._ends, cols=self._starts,
         )
         loop_counts = xi.sum(0)

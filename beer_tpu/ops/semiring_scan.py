@@ -68,6 +68,8 @@ class FBProbs(NamedTuple):
     e_llh: jnp.ndarray       # (B, T, S) = exp(llh − per-frame max); 1 on pads
     log_z: jnp.ndarray       # (B,)
     posteriors: jnp.ndarray  # (B, T, S), zero on padded frames
+    fwd_log_scales: jnp.ndarray  # (B, T) cumulative log-scale of α̂ (no llh shift)
+    post_norm: jnp.ndarray       # (B, T) Σ_s α̂_t(s)·β̂_t(s) (pre-mask)
 
 
 def _clamp(x: jnp.ndarray) -> jnp.ndarray:
@@ -335,6 +337,112 @@ def forward_backward(
     # below the per-frame max and softmax to ~0 instead of overflowing).
     posteriors = jax.nn.softmax(log_alpha + log_beta, axis=-1) * mask[..., None]
     return FBResult(log_alpha, log_beta, log_z, posteriors)
+
+
+def forward_backward_probs(
+    llh: jnp.ndarray,
+    log_trans: jnp.ndarray,
+    log_init: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> FBProbs:
+    """Probability-space smoothing — the training hot path.
+
+    Same recursions as :func:`forward_backward`, but the (B, T, S)
+    log/exp/softmax recovery passes are skipped entirely: the scaled
+    carries α̂/β̂ are already per-frame normalized, so
+
+      γ_t = α̂_t·β̂_t / Σ_s α̂_t(s)·β̂_t(s)
+
+    is *exactly* ``softmax(log_alpha + log_beta)`` (the per-(b, t)
+    log-scale constants cancel in the normalization), with two cheap
+    elementwise passes instead of two log materializations + a softmax.
+    ξ-counts come from :func:`expected_transition_counts_probs` on the
+    same carries.  Tests assert bitwise-level agreement with the log
+    path; :class:`FBResult` remains available via
+    :func:`forward_backward` for log-domain consumers.
+    """
+    b, t_len, s = llh.shape
+    if mask is None:
+        mask = jnp.ones((b, t_len), llh.dtype)
+    tiny = jnp.finfo(llh.dtype).tiny
+    m_llh = jnp.max(llh, axis=-1, keepdims=True)
+    e_llh = jnp.exp(llh - m_llh) * mask[..., None] + (1 - mask[..., None]) * 1.0
+    shift_total = (m_llh[..., 0] * mask).sum(1)
+
+    trans = jnp.exp(log_trans)
+    init_vec = jnp.broadcast_to(jnp.exp(_clamp(log_init)), (b, s)).astype(llh.dtype)
+    final_vec = jnp.broadcast_to(jnp.exp(_clamp(log_final)), (b, s)).astype(llh.dtype)
+    run = _select_pass(trans)
+    a_probs, a_logcs, (a_last, a_logc_last) = run(
+        e_llh, trans, init_vec, mask, reverse=False
+    )
+    b_probs, _, _ = run(e_llh, trans, final_vec, mask, reverse=True)
+
+    log_z = a_logc_last + shift_total + jnp.log(
+        jnp.maximum((a_last * final_vec).sum(-1), tiny)
+    )
+    prod = a_probs * b_probs
+    post_norm = prod.sum(-1)
+    posteriors = (
+        prod / jnp.maximum(post_norm[..., None], tiny)
+    ) * mask[..., None]
+    return FBProbs(a_probs, b_probs, e_llh, log_z, posteriors,
+                   a_logcs, post_norm)
+
+
+def expected_transition_counts_probs(
+    fbp: FBProbs,
+    log_trans: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    rows: Optional[jnp.ndarray] = None,
+    cols: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """ξ-counts from the probability-space carries of
+    :func:`forward_backward_probs` — the fast path of
+    :func:`expected_transition_counts`.
+
+    ``u_t = softmax(log_alpha_t)`` is exactly the per-frame-normalized
+    forward carry α̂_t (no softmax needed), and ``w_t =
+    softmax(llh_t + log_beta_t)`` is ``normalize(e_llh_t · β̂_t)`` (the
+    per-frame max shift of e_llh and the β̂ log-scale are constants that
+    cancel).
+
+    The per-frame normalizer uᵀAw — a full (B, T, S²) contraction in the
+    log-space formula — is recovered *for free* from pass by-products:
+    substituting α̂_{t+1} = (α̂_t A) ⊙ e_{t+1} / c_{t+1} (the forward
+    recursion, c = the per-step scale) gives the exact identity
+
+        u_tᵀ A w_{t+1} = c_{t+1} · Σ_j α̂_{t+1}(j) β̂_{t+1}(j)
+                                  / Σ_j e_{t+1}(j) β̂_{t+1}(j)
+
+    where c_{t+1} = exp(logc_{t+1} − logc_t) and Σ α̂β̂ is the posterior
+    normalizer — both already computed.  (Masked steps copy the carries,
+    so c = 1 there; their weight is zeroed by the mask anyway.)
+    """
+    probs_fwd, probs_bwd, e_llh = fbp.probs_fwd, fbp.probs_bwd, fbp.e_llh
+    b, t_len, s = e_llh.shape
+    tiny = jnp.finfo(e_llh.dtype).tiny
+    if mask is None:
+        mask = jnp.ones((b, t_len), e_llh.dtype)
+    u = probs_fwd[:, :-1]                              # (B, T-1, S)
+    w_raw = e_llh[:, 1:] * probs_bwd[:, 1:]
+    w_sum = w_raw.sum(-1)                              # (B, T-1)
+    w = w_raw / jnp.maximum(w_sum[..., None], tiny)
+    trans_prob = jnp.exp(log_trans)
+    logcs = fbp.fwd_log_scales
+    step_norm = jnp.exp(logcs[:, 1:] - logcs[:, :-1])  # c_{t+1}
+    denom = step_norm * fbp.post_norm[:, 1:] / jnp.maximum(w_sum, tiny)
+    weight = jnp.where(denom > 1e-30, mask[:, 1:] / jnp.maximum(denom, 1e-30), 0.0)
+    if rows is not None:
+        u = u[..., rows]
+        w = w[..., cols]
+        trans_prob = trans_prob[rows][:, cols]
+    outer = jnp.einsum(
+        "bti,btj,bt->ij", u, w, weight,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return outer * trans_prob
 
 
 def expected_transition_counts(

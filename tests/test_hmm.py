@@ -200,7 +200,7 @@ class TestScans:
             log_trans=jnp.asarray(lt), pdf_ids=jnp.arange(s, dtype=jnp.int32),
             n_states=s, n_pdfs=s,
         )
-        fb = semiring_scan.forward_backward(
+        fb = semiring_scan.forward_backward_probs(
             jnp.asarray(llh), g.log_trans, g.log_init, g.log_final
         )
         hmm = HMM(graph=g, modelset=None)
@@ -399,3 +399,70 @@ class TestBayesianTransitions:
         hmm = HMM.create(graph_mod.left_to_right(3).compile(), nset)
         assert hmm.trans_alpha_post is None
         assert float(hmm._trans_kl()) == 0.0
+
+
+def test_probs_path_matches_log_path(rng):
+    """forward_backward_probs / expected_transition_counts_probs are the
+    hot-path reformulation of the log-space smoothing — posteriors,
+    log Z, and xi-counts must agree with the FBResult path exactly (same
+    recursions, only the recovery algebra differs)."""
+    t_len, s = 40, 7
+    lt, li, lf = random_hmm_params(rng, s)
+    llh = rng.normal(size=(3, t_len, s)) * 3
+    lengths = [t_len, 25, 1]
+    mask = np.zeros((3, t_len))
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    args = (jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li),
+            jnp.asarray(lf), jnp.asarray(mask))
+    fb = semiring_scan.forward_backward(*args)
+    fbp = semiring_scan.forward_backward_probs(*args)
+    np.testing.assert_allclose(
+        np.asarray(fbp.log_z), np.asarray(fb.log_z), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(fbp.posteriors), np.asarray(fb.posteriors),
+        rtol=1e-8, atol=1e-12,
+    )
+    xi_log = semiring_scan.expected_transition_counts(
+        fb.log_alpha, fb.log_beta, jnp.asarray(llh), jnp.asarray(lt),
+        fb.log_z, jnp.asarray(mask),
+    )
+    xi_probs = semiring_scan.expected_transition_counts_probs(
+        fbp, jnp.asarray(lt), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(xi_probs), np.asarray(xi_log), rtol=1e-8, atol=1e-12
+    )
+    rows, cols = jnp.asarray([1, 3]), jnp.asarray([0, 2, 4])
+    xi_blk = semiring_scan.expected_transition_counts_probs(
+        fbp, jnp.asarray(lt), jnp.asarray(mask), rows=rows, cols=cols
+    )
+    np.testing.assert_allclose(
+        np.asarray(xi_blk), np.asarray(xi_log)[np.ix_([1, 3], [0, 2, 4])],
+        rtol=1e-8,
+    )
+
+
+def test_probs_path_extreme_llh_finite(rng):
+    """The probs path must keep the same f32 floor robustness as the
+    log path on badly-matched models (llh ~ -2000/frame)."""
+    t_len, s = 60, 5
+    lt, li, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(2, t_len, s)) * 200 - 1500).astype(np.float32)
+    mask = np.ones((2, t_len), np.float32)
+    mask[1, 40:] = 0
+    fbp = semiring_scan.forward_backward_probs(
+        jnp.asarray(llh), jnp.asarray(lt.astype(np.float32)),
+        jnp.asarray(li.astype(np.float32)), jnp.asarray(lf.astype(np.float32)),
+        jnp.asarray(mask),
+    )
+    assert np.isfinite(np.asarray(fbp.log_z)).all()
+    post = np.asarray(fbp.posteriors)
+    assert np.isfinite(post).all()
+    np.testing.assert_allclose(post[0].sum(-1), 1.0, rtol=1e-5)
+    xi = np.asarray(semiring_scan.expected_transition_counts_probs(
+        fbp, jnp.asarray(lt.astype(np.float32)), jnp.asarray(mask)
+    ))
+    assert np.isfinite(xi).all() and (xi >= 0).all()
+    np.testing.assert_allclose(xi.sum(), (mask[:, 1:]).sum(), rtol=1e-4)
