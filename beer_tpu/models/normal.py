@@ -148,6 +148,13 @@ class NormalSet(ModelSet):
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
         if self.fused:
             return data  # raw frames; xx^T is built in-kernel (fused path)
+        if self.cov_type == "diagonal":
+            # Reduced layout [−½x², x] (2D): the [−½·1, ½·1] constant
+            # blocks of the canonical 4D layout contribute a per-frame
+            # constant to the ELLH and a pure-count term to the
+            # accumulation — both recovered in closed form below.  Halves
+            # the hot (T, P) @ (P, K) matmuls and the stats HBM footprint.
+            return jnp.concatenate([-0.5 * data**2, data], axis=-1)
         if self.cov_type in _UNSHARED:
             return _UNSHARED[self.cov_type][1](data)
         return _SHARED[self.cov_type][1](data, self.ncomp)
@@ -163,6 +170,16 @@ class NormalSet(ModelSet):
             flat = stats.reshape(-1, self.dim)
             llh = stats_kernels.fused_ellh_full(flat, e_stats, self.dim)
             return llh.reshape(stats.shape[:-1] + (self.ncomp,))
+        if self.cov_type == "diagonal":
+            d = self.dim
+            # bias_k = Σ_d (−½ E[λμ²] + ½ E[log λ]) — the constant blocks
+            bias = -0.5 * e_stats[:, 2 * d:3 * d].sum(-1) \
+                + 0.5 * e_stats[:, 3 * d:].sum(-1)
+            llh = jnp.matmul(
+                stats, e_stats[:, :2 * d].T,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + bias
+            return llh - 0.5 * d * LOG_2PI
         if self.cov_type in _UNSHARED:
             # (T, P) @ (P, K); HIGHEST: stats have x·xᵀ-scale dynamic range,
             # bf16x3 passes visibly perturb the ELBO (non-monotone VB-EM).
@@ -179,6 +196,17 @@ class NormalSet(ModelSet):
         if self.fused:
             acc = stats_kernels.fused_accumulate_full(
                 stats.reshape(-1, self.dim), resps.reshape(-1, self.ncomp)
+            )
+            return {"means_precisions": acc}
+        if self.cov_type == "diagonal":
+            acc2 = jnp.einsum(
+                "...tk,...tp->...kp", resps, stats,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            counts = resps.sum(-2)[..., None]            # (..., K, 1)
+            ones = jnp.ones((self.dim,), stats.dtype)
+            acc = jnp.concatenate(
+                [acc2, -0.5 * counts * ones, 0.5 * counts * ones], axis=-1
             )
             return {"means_precisions": acc}
         if self.cov_type in _UNSHARED:
