@@ -169,6 +169,122 @@ def _call(kernel, e_tm, m_tm, trans, vec, index_map, k_steps,
     return probs, logcs
 
 
+def _make_smoothing_kernel(k_steps: int, n_blocks: int, t_len: int):
+    """Backward recursion in "v-space" + fused smoothing outputs.
+
+    Carries v̂_t ∝ e_t·β_t (normalized).  Per step at absolute time t
+    (blocks and in-block steps walk time descending):
+
+        u1 = v̂_{t+1} @ Aᵀ            (∝ β_t; at the last real frame the
+                                       recursion base β = final is
+                                       selected instead)
+        b  = u1 / Σu1                 (β̂_t)
+        γ  = normalize(α̂_t ⊙ b)·m_t  (state posteriors, emitted directly)
+        v  = e_t ⊙ u1;  ŵ = v / Σv   (the ξ-count factor normalize(e·β̂))
+        w_sum = Σv / Σu1              (Σ_j e_j β̂_j — ξ denominator part)
+
+    Compared to the plain backward kernel this consumes *unshifted*
+    e/mask tiles (no (B, T, S) shift-concat), emits the posteriors and
+    ξ factors without any extra HBM round-trips of β̂, and has **no
+    transcendentals at all** (the log-scale carry is not needed — every
+    output is per-frame normalized).
+    """
+
+    def kernel(e_ref, m_ref, mn_ref, a_ref, trans_t_ref, final_ref,
+               gamma_out, w_out, wsum_out, pnorm_out, carry_v):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            carry_v[:] = f / jnp.maximum(f.sum(-1, keepdims=True), tiny)
+
+        v_hat = carry_v[:]
+        trans_t = trans_t_ref[:]
+        final = final_ref[:].astype(jnp.float32)
+        for k in range(k_steps - 1, -1, -1):
+            m_t = m_ref[k].astype(jnp.float32)            # (B, 1)
+            mn_t = mn_ref[k].astype(jnp.float32)          # mask at t+1
+            is_last = m_t * (1.0 - mn_t)
+            u1 = jnp.dot(
+                v_hat, trans_t, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            u1 = is_last * final + (1.0 - is_last) * u1
+            nu = jnp.maximum(u1.sum(-1, keepdims=True), tiny)
+            b = u1 / nu
+            ab = a_ref[k].astype(jnp.float32) * b
+            pn = ab.sum(-1, keepdims=True)
+            gamma = (ab / jnp.maximum(pn, tiny)) * m_t
+            v = e_ref[k].astype(jnp.float32) * u1
+            sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
+            w = v / sv
+            v_hat = m_t * w + (1.0 - m_t) * v_hat
+            gamma_out[k] = gamma.astype(gamma_out.dtype)
+            w_out[k] = w.astype(w_out.dtype)
+            wsum_out[k] = (sv / nu).astype(wsum_out.dtype)
+            pnorm_out[k] = pn.astype(pnorm_out.dtype)
+        carry_v[:] = v_hat
+
+    return kernel
+
+
+def backward_smoothing_pass(e_llh, trans, final_vec, mask, a_probs,
+                            interpret: bool = False):
+    """Fused backward + smoothing; see :func:`_make_smoothing_kernel`.
+
+    Batch-major in/out: e_llh/a_probs (B, T, S), mask (B, T).  Returns
+    ``(posteriors, w_probs, w_sums, post_norm)`` with posteriors already
+    masked; exact jnp fallback:
+    ``semiring_scan._smoothing_scan`` (tests assert agreement).
+    """
+    b, t_len, s = e_llh.shape
+    dtype = e_llh.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    e_p = _pad_time(e_llh, t_pad, 1.0)
+    m_p = _pad_time(mask, t_pad, 0.0)
+    mn = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
+    )
+    a_p = _pad_time(a_probs, t_pad, 1.0)
+    e_tm = jnp.swapaxes(e_p, 0, 1)
+    m_tm = jnp.swapaxes(m_p, 0, 1)[..., None]
+    mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+    a_tm = jnp.swapaxes(a_p, 0, 1)
+    n_blocks = t_pad // k_steps
+    rev = lambda g: (n_blocks - 1 - g, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), rev, memory_space=pltpu.VMEM)
+    gamma, w, wsum, pnorm = pl.pallas_call(
+        _make_smoothing_kernel(k_steps, n_blocks, t_len),
+        grid=(n_blocks,),
+        in_specs=[
+            big, small, small, big,
+            pl.BlockSpec((s, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[big, big, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(e_tm, m_tm, mn_tm, a_tm, trans.T, final_vec)
+    gamma = jnp.swapaxes(gamma, 0, 1)[:, :t_len]
+    w = jnp.swapaxes(w, 0, 1)[:, :t_len]
+    wsum = jnp.swapaxes(wsum[..., 0], 0, 1)[:, :t_len]
+    pnorm = jnp.swapaxes(pnorm[..., 0], 0, 1)[:, :t_len]
+    return gamma, w, wsum, pnorm
+
+
 def _pad_time(x, t_pad, fill):
     b, t_len = x.shape[0], x.shape[1]
     if t_pad == t_len:

@@ -52,24 +52,23 @@ class FBResult(NamedTuple):
 class FBProbs(NamedTuple):
     """Probability-space smoothing result (the training hot path).
 
-    ``probs_fwd`` / ``probs_bwd`` are the *per-frame-normalized* scaled
-    recursion carries α̂/β̂; together with ``e_llh`` they carry all the
-    per-frame information of (log α, log β) up to per-(b, t) constants —
-    enough for posteriors and ξ-counts with **no (B, T, S) log/exp
+    All fields come straight out of the scaled forward pass and the
+    fused v-space backward/smoothing pass — **no (B, T, S) log/exp
     passes and no log_α/log_β materialization**:
 
-      γ_t   = α̂_t·β̂_t / Σ_s α̂_t·β̂_t
-      ξ_t   ∝ outer(α̂_t, normalize(e_llh·β̂)_{t+1}) ⊙ A   (exact after
-              the uᵀAw renormalization of expected_transition_counts)
+      posteriors γ_t = α̂_t·β̂_t / Σ_s α̂_t·β̂_t   (≡ softmax(logα+logβ))
+      ξ_t ∝ outer(α̂_t, probs_w_{t+1}) ⊙ A        with the exact uᵀAw
+            normalizer recovered from (fwd_log_scales, post_norm,
+            w_sums) — see :func:`expected_transition_counts_probs`.
     """
 
-    probs_fwd: jnp.ndarray   # (B, T, S)
-    probs_bwd: jnp.ndarray   # (B, T, S)
-    e_llh: jnp.ndarray       # (B, T, S) = exp(llh − per-frame max); 1 on pads
+    probs_fwd: jnp.ndarray   # (B, T, S) α̂ (per-frame normalized)
+    posteriors: jnp.ndarray  # (B, T, S) γ, zero on padded frames
+    probs_w: jnp.ndarray     # (B, T, S) normalize(e_llh·β̂) per frame
+    w_sums: jnp.ndarray      # (B, T) Σ_s e_llh_t(s)·β̂_t(s)
+    post_norm: jnp.ndarray   # (B, T) Σ_s α̂_t(s)·β̂_t(s) (pre-mask)
+    fwd_log_scales: jnp.ndarray  # (B, T) cumulative log-scale of α̂
     log_z: jnp.ndarray       # (B,)
-    posteriors: jnp.ndarray  # (B, T, S), zero on padded frames
-    fwd_log_scales: jnp.ndarray  # (B, T) cumulative log-scale of α̂ (no llh shift)
-    post_norm: jnp.ndarray       # (B, T) Σ_s α̂_t(s)·β̂_t(s) (pre-mask)
 
 
 def _clamp(x: jnp.ndarray) -> jnp.ndarray:
@@ -229,6 +228,82 @@ def _scaled_pass(e_llh, trans, init_vec, mask, reverse: bool):
     return probs, logcs, carry
 
 
+def _smoothing_scan(e_llh, trans, final_vec, mask, a_probs):
+    """jnp fallback of ``pallas_scan.backward_smoothing_pass``.
+
+    v-space backward recursion (carry v̂_t ∝ e_t·β_t, normalized) with
+    the smoothing outputs computed in-step; bit-identical semantics to
+    the Pallas kernel (tests assert agreement).  Handles per-utterance
+    (B, S, S) transition matrices via einsum.
+    """
+    b, t_len, s = e_llh.shape
+    tiny = jnp.finfo(e_llh.dtype).tiny
+    batched = trans.ndim == 3
+    trans_t = jnp.swapaxes(trans, -1, -2)
+    final = jnp.broadcast_to(final_vec, (b, s)).astype(e_llh.dtype)
+    mask_next = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros((b, 1), mask.dtype)], axis=1
+    )
+    v0 = final / jnp.maximum(final.sum(-1, keepdims=True), tiny)
+
+    def step(v_hat, inp):
+        e_t, a_t, m_t, mn_t = inp
+        is_last = m_t * (1.0 - mn_t)
+        if batched:
+            u1 = jnp.einsum("bs,bst->bt", v_hat, trans_t,
+                            precision=jax.lax.Precision.HIGHEST)
+        else:
+            u1 = jnp.matmul(v_hat, trans_t,
+                            precision=jax.lax.Precision.HIGHEST)
+        u1 = is_last * final + (1.0 - is_last) * u1
+        nu = jnp.maximum(u1.sum(-1, keepdims=True), tiny)
+        b_hat = u1 / nu
+        ab = a_t * b_hat
+        pn = ab.sum(-1, keepdims=True)
+        gamma = (ab / jnp.maximum(pn, tiny)) * m_t
+        v = e_t * u1
+        sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
+        w = v / sv
+        v_new = m_t * w + (1.0 - m_t) * v_hat
+        return v_new, (gamma, w, (sv / nu)[..., 0], pn[..., 0])
+
+    xs = (
+        jnp.swapaxes(e_llh, 0, 1),
+        jnp.swapaxes(a_probs, 0, 1),
+        jnp.swapaxes(mask[..., None], 0, 1),
+        jnp.swapaxes(mask_next[..., None], 0, 1),
+    )
+    _, (gamma, w, wsum, pnorm) = jax.lax.scan(step, v0, xs, reverse=True)
+    return (
+        jnp.swapaxes(gamma, 0, 1),
+        jnp.swapaxes(w, 0, 1),
+        jnp.swapaxes(wsum, 0, 1),
+        jnp.swapaxes(pnorm, 0, 1),
+    )
+
+
+@jax.custom_vjp
+def _smoothing_pallas(e_llh, trans, final_vec, mask, a_probs):
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.backward_smoothing_pass(
+        e_llh, trans, final_vec, mask, a_probs
+    )
+
+
+def _smoothing_fwd(e_llh, trans, final_vec, mask, a_probs):
+    args = (e_llh, trans, final_vec, mask, a_probs)
+    return _smoothing_pallas(*args), args
+
+
+def _smoothing_bwd(res, ct):
+    _, vjp = jax.vjp(_smoothing_scan, *res)
+    return vjp(ct)
+
+
+_smoothing_pallas.defvjp(_smoothing_fwd, _smoothing_bwd)
+
+
 def _make_pallas_diffable(reverse: bool):
     """Pallas pass wrapped in ``custom_vjp``: kernel forward, jnp backward.
 
@@ -355,13 +430,16 @@ def forward_backward_probs(
       γ_t = α̂_t·β̂_t / Σ_s α̂_t(s)·β̂_t(s)
 
     is *exactly* ``softmax(log_alpha + log_beta)`` (the per-(b, t)
-    log-scale constants cancel in the normalization), with two cheap
-    elementwise passes instead of two log materializations + a softmax.
-    ξ-counts come from :func:`expected_transition_counts_probs` on the
-    same carries.  Tests assert bitwise-level agreement with the log
-    path; :class:`FBResult` remains available via
-    :func:`forward_backward` for log-domain consumers.
+    log-scale constants cancel in the normalization).  The backward
+    recursion runs fused with the smoothing (γ, ξ-factors, and their
+    normalizers emitted in-step — one Pallas kernel on TPU, the
+    ``_smoothing_scan`` jnp scan elsewhere).  ξ-counts come from
+    :func:`expected_transition_counts_probs` on the same by-products.
+    Tests assert agreement with the log path; :class:`FBResult` remains
+    available via :func:`forward_backward` for log-domain consumers.
     """
+    from beer_tpu.ops import pallas_scan
+
     b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
@@ -377,18 +455,18 @@ def forward_backward_probs(
     a_probs, a_logcs, (a_last, a_logc_last) = run(
         e_llh, trans, init_vec, mask, reverse=False
     )
-    b_probs, _, _ = run(e_llh, trans, final_vec, mask, reverse=True)
-
     log_z = a_logc_last + shift_total + jnp.log(
         jnp.maximum((a_last * final_vec).sum(-1), tiny)
     )
-    prod = a_probs * b_probs
-    post_norm = prod.sum(-1)
-    posteriors = (
-        prod / jnp.maximum(post_norm[..., None], tiny)
-    ) * mask[..., None]
-    return FBProbs(a_probs, b_probs, e_llh, log_z, posteriors,
-                   a_logcs, post_norm)
+    if trans.ndim == 2 and pallas_scan.available():
+        gamma, w, wsum, pnorm = _smoothing_pallas(
+            e_llh, trans, final_vec, mask, a_probs
+        )
+    else:
+        gamma, w, wsum, pnorm = _smoothing_scan(
+            e_llh, trans, final_vec, mask, a_probs
+        )
+    return FBProbs(a_probs, gamma, w, wsum, pnorm, a_logcs, log_z)
 
 
 def expected_transition_counts_probs(
@@ -420,24 +498,37 @@ def expected_transition_counts_probs(
     normalizer — both already computed.  (Masked steps copy the carries,
     so c = 1 there; their weight is zeroed by the mask anyway.)
     """
-    probs_fwd, probs_bwd, e_llh = fbp.probs_fwd, fbp.probs_bwd, fbp.e_llh
-    b, t_len, s = e_llh.shape
-    tiny = jnp.finfo(e_llh.dtype).tiny
+    u = fbp.probs_fwd[:, :-1]                          # (B, T-1, S)
+    w = fbp.probs_w[:, 1:]
+    b, t_len = fbp.w_sums.shape
+    tiny = jnp.finfo(u.dtype).tiny
     if mask is None:
-        mask = jnp.ones((b, t_len), e_llh.dtype)
-    u = probs_fwd[:, :-1]                              # (B, T-1, S)
-    w_raw = e_llh[:, 1:] * probs_bwd[:, 1:]
-    w_sum = w_raw.sum(-1)                              # (B, T-1)
-    w = w_raw / jnp.maximum(w_sum[..., None], tiny)
+        mask = jnp.ones((b, t_len), u.dtype)
     trans_prob = jnp.exp(log_trans)
     logcs = fbp.fwd_log_scales
     step_norm = jnp.exp(logcs[:, 1:] - logcs[:, :-1])  # c_{t+1}
-    denom = step_norm * fbp.post_norm[:, 1:] / jnp.maximum(w_sum, tiny)
+    denom = step_norm * fbp.post_norm[:, 1:] / jnp.maximum(
+        fbp.w_sums[:, 1:], tiny
+    )
     weight = jnp.where(denom > 1e-30, mask[:, 1:] / jnp.maximum(denom, 1e-30), 0.0)
+    return _xi_outer(u, w, weight, trans_prob, rows, cols)
+
+
+def _xi_outer(u, w, weight, trans_prob, rows, cols):
+    """Σ_t weight_t · outer(u_t, w_t) ⊙ A, optionally restricted.
+
+    Restriction uses one-hot selection *matmuls*, not fancy-index
+    gathers: a strided gather along the minor (lane) axis of a (B, T, S)
+    array is a per-element op on TPU — orders of magnitude slower than
+    the equivalent (B·T, S) @ (S, n) MXU contraction.
+    """
     if rows is not None:
-        u = u[..., rows]
-        w = w[..., cols]
-        trans_prob = trans_prob[rows][:, cols]
+        s = u.shape[-1]
+        sel_r = jax.nn.one_hot(rows, s, dtype=u.dtype)     # (n_r, S)
+        sel_c = jax.nn.one_hot(cols, s, dtype=u.dtype)     # (n_c, S)
+        u = jnp.matmul(u, sel_r.T, precision=jax.lax.Precision.HIGHEST)
+        w = jnp.matmul(w, sel_c.T, precision=jax.lax.Precision.HIGHEST)
+        trans_prob = (sel_r @ trans_prob) @ sel_c.T
     outer = jnp.einsum(
         "bti,btj,bt->ij", u, w, weight,
         precision=jax.lax.Precision.HIGHEST,
@@ -488,15 +579,7 @@ def expected_transition_counts(
         precision=jax.lax.Precision.HIGHEST,
     )
     weight = jnp.where(denom > 1e-30, mask[:, 1:] / jnp.maximum(denom, 1e-30), 0.0)
-    if rows is not None:
-        u = u[..., rows]
-        w = w[..., cols]
-        trans_prob = trans_prob[rows][:, cols]
-    outer = jnp.einsum(
-        "bti,btj,bt->ij", u, w, weight,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return outer * trans_prob
+    return _xi_outer(u, w, weight, trans_prob, rows, cols)
 
 
 # ----------------------------------------------------------------------
