@@ -42,6 +42,11 @@ def _promote(x: jnp.ndarray) -> jnp.ndarray:
     return x[None] if x.ndim == 2 else x
 
 
+# states above which the O(S) band+rank-1 scan kernels beat the dense
+# O(S²) MXU step (see PhoneLoop.infer)
+_BANDED_MIN_STATES = 384
+
+
 @struct.dataclass
 class PhoneLoop(DiscreteLatentModel):
     """Loop of left-to-right unit HMMs with a Bayesian unit prior."""
@@ -132,6 +137,28 @@ class PhoneLoop(DiscreteLatentModel):
             n_pdfs=self.n_states,
         )
 
+    def _structured_trans(self, dtype):
+        """Band + rank-1 probability-space factorization of the
+        effective transition matrix: (a_self, a_adv, exit, w) with
+        ``semiring_scan.bands_to_dense(...) == exp(log_trans)`` exactly
+        (tested).  Lets the scan kernels replace the per-step (B, S) @
+        (S, S) matmul with five VPU passes."""
+        p = self.states_per_unit
+        s = self.n_states
+        ids = jnp.arange(s)
+        # with P == 1 the dense builder *overwrites* the diagonal with
+        # the loop-back block, so the self-loop band is empty
+        a_self = jnp.full(s, self.self_loop if p > 1 else 0.0, dtype)
+        a_adv = jnp.where(ids % p != p - 1, 1.0 - self.self_loop, 0.0).astype(dtype)
+        elogw = self.unit_prior.expected_log_weights().astype(dtype)
+        if self.log_exit is not None:
+            exit_u = jnp.exp(self.log_exit.astype(dtype))
+        else:
+            exit_u = jnp.full(self.n_units, math.exp(self._log_exit()), dtype)
+        exit_scat = jnp.zeros(s, dtype).at[self._ends].set(exit_u)
+        w_scat = jnp.zeros(s, dtype).at[self._starts].set(jnp.exp(elogw))
+        return (a_self, a_adv, exit_scat, w_scat)
+
     # ------------------------------------------------------------------
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
         return self.modelset.sufficient_statistics(_promote(data))
@@ -139,8 +166,18 @@ class PhoneLoop(DiscreteLatentModel):
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         graph = self._effective_graph()
         llh_states = self.modelset.expected_log_likelihood(stats)
+        # Band + rank-1 kernels are O(S) per step vs the MXU matmul's
+        # O(S²), but cross-lane VPU ops (roll, lane reduce, broadcast)
+        # cost more per pass: measured on v5e, dense wins at S = 150
+        # (17.3M vs 13.2M frames/s) — the banded path pays off only for
+        # large state spaces.
+        bands = (
+            self._structured_trans(llh_states.dtype)
+            if self.n_states >= _BANDED_MIN_STATES else None
+        )
         fb = semiring_scan.forward_backward_probs(
-            llh_states, graph.log_trans, graph.log_init, graph.log_final, mask
+            llh_states, graph.log_trans, graph.log_init, graph.log_final,
+            mask, structured_trans=bands,
         )
         log_z = fb.log_z
         if mask is not None:

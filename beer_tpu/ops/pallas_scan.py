@@ -169,6 +169,213 @@ def _call(kernel, e_tm, m_tm, trans, vec, index_map, k_steps,
     return probs, logcs
 
 
+def _shift_right(x):
+    """y[:, j] = x[:, j-1]; y[:, 0] = 0 — lane shift on a (B, S) value."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == 0, 0.0, pltpu.roll(x, 1, 1))
+
+
+def _shift_left(x):
+    """y[:, j] = x[:, j+1]; y[:, -1] = 0."""
+    s = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == s - 1, 0.0, pltpu.roll(x, s - 1, 1))
+
+
+def _make_fwd_banded_kernel(k_steps: int):
+    """Forward kernel for band + rank-1 transition structure.
+
+    Phone-loop transitions (see ``PhoneLoop._structured_trans``) are a
+    diagonal (self-loops) + first superdiagonal (within-unit advances)
+    + rank-1 loop-back block (unit ends × unit starts):
+
+        (pA)[j] = p[j]·a_self[j] + p[j-1]·a_adv[j-1]
+                  + (Σ_i p[i]·exit[i]) · w[j]
+
+    — five VPU passes instead of a (B, S) @ (S, S) MXU matmul (which at
+    HIGHEST precision is ~6 bf16 passes over S² and dominates the dense
+    kernel's step time).
+    """
+
+    def kernel(e_ref, m_ref, self_ref, adv_ref, exit_ref, w_ref, init_ref,
+               prob_out, logc_out, carry_p, carry_c):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            carry_p[:] = init_ref[:].astype(jnp.float32)
+            carry_c[:] = jnp.zeros_like(carry_c)
+
+        p = carry_p[:]
+        c = carry_c[:]
+        a_self = self_ref[:]
+        a_adv = adv_ref[:]
+        exit_v = exit_ref[:]
+        w_v = w_ref[:]
+        for k in range(k_steps):
+            q = (p * exit_v).sum(-1, keepdims=True)       # (B, 1)
+            propagated = p * a_self + _shift_right(p * a_adv) + q * w_v
+            if k == 0:
+                base = jnp.where(pid == 0, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_ref[k].astype(jnp.float32)
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            new_c = c + jnp.log(norm)
+            keep = m_ref[k].astype(jnp.float32)
+            if k == 0:
+                keep = jnp.where(pid == 0, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            c = keep * new_c + (1.0 - keep) * c
+            prob_out[k] = p.astype(prob_out.dtype)
+            logc_out[k] = c.astype(logc_out.dtype)
+        carry_p[:] = p
+        carry_c[:] = c
+
+    return kernel
+
+
+def _make_smoothing_banded_kernel(k_steps: int):
+    """Banded variant of :func:`_make_smoothing_kernel`:
+
+        (Av)[i] = v[i]·a_self[i] + v[i+1]·a_adv[i] + exit[i]·(Σ_j w[j]·v[j])
+    """
+
+    def kernel(e_ref, m_ref, mn_ref, a_ref, self_ref, adv_ref, exit_ref,
+               w_ref, final_ref, gamma_out, w_out, wsum_out, pnorm_out,
+               carry_v):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            carry_v[:] = f / jnp.maximum(f.sum(-1, keepdims=True), tiny)
+
+        v_hat = carry_v[:]
+        a_self = self_ref[:]
+        a_adv = adv_ref[:]
+        exit_v = exit_ref[:]
+        w_v = w_ref[:]
+        final = final_ref[:].astype(jnp.float32)
+        for k in range(k_steps - 1, -1, -1):
+            m_t = m_ref[k].astype(jnp.float32)
+            mn_t = mn_ref[k].astype(jnp.float32)
+            is_last = m_t * (1.0 - mn_t)
+            r = (v_hat * w_v).sum(-1, keepdims=True)      # (B, 1)
+            u1 = v_hat * a_self + _shift_left(v_hat) * a_adv + r * exit_v
+            u1 = is_last * final + (1.0 - is_last) * u1
+            nu = jnp.maximum(u1.sum(-1, keepdims=True), tiny)
+            b = u1 / nu
+            ab = a_ref[k].astype(jnp.float32) * b
+            pn = ab.sum(-1, keepdims=True)
+            gamma = (ab / jnp.maximum(pn, tiny)) * m_t
+            v = e_ref[k].astype(jnp.float32) * u1
+            sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
+            w = v / sv
+            v_hat = m_t * w + (1.0 - m_t) * v_hat
+            gamma_out[k] = gamma.astype(gamma_out.dtype)
+            w_out[k] = w.astype(w_out.dtype)
+            wsum_out[k] = (sv / nu).astype(wsum_out.dtype)
+            pnorm_out[k] = pn.astype(pnorm_out.dtype)
+        carry_v[:] = v_hat
+
+    return kernel
+
+
+def _band_specs(s):
+    spec = pl.BlockSpec((1, s), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    return [spec] * 4
+
+
+def forward_pass_banded(e_llh, bands, init_vec, mask,
+                        interpret: bool = False):
+    """Scaled forward with band + rank-1 transitions.
+
+    ``bands = (a_self, a_adv, exit_scat, w_scat)``, each (S,) probability
+    -space vectors; semantics identical to :func:`forward_pass` with the
+    dense matrix ``diag(a_self) + superdiag(a_adv) + outer(exit, w)``.
+    """
+    b, t_len, s = e_llh.shape
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    e_tm = jnp.swapaxes(_pad_time(e_llh, t_pad, 1.0), 0, 1)
+    m_tm = jnp.swapaxes(_pad_time(mask, t_pad, 0.0), 0, 1)[..., None]
+    n_blocks = t_pad // k_steps
+    idx = lambda t: (t, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM)
+    probs, logcs = pl.pallas_call(
+        _make_fwd_banded_kernel(k_steps),
+        grid=(n_blocks,),
+        in_specs=[big, small] + _band_specs(s) + [
+            pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[big, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), e_llh.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), e_llh.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, s), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(e_tm, m_tm, *[v.reshape(1, s) for v in bands], init_vec)
+    probs = jnp.swapaxes(probs, 0, 1)[:, :t_len]
+    logcs = jnp.swapaxes(logcs[..., 0], 0, 1)[:, :t_len]
+    return probs, logcs, (probs[:, -1], logcs[:, -1])
+
+
+def backward_smoothing_banded(e_llh, bands, final_vec, mask, a_probs,
+                              interpret: bool = False):
+    """Banded variant of :func:`backward_smoothing_pass`."""
+    b, t_len, s = e_llh.shape
+    dtype = e_llh.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    mn = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
+    )
+    e_tm = jnp.swapaxes(_pad_time(e_llh, t_pad, 1.0), 0, 1)
+    m_tm = jnp.swapaxes(_pad_time(mask, t_pad, 0.0), 0, 1)[..., None]
+    mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+    a_tm = jnp.swapaxes(_pad_time(a_probs, t_pad, 1.0), 0, 1)
+    n_blocks = t_pad // k_steps
+    rev = lambda g: (n_blocks - 1 - g, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), rev, memory_space=pltpu.VMEM)
+    gamma, w, wsum, pnorm = pl.pallas_call(
+        _make_smoothing_banded_kernel(k_steps),
+        grid=(n_blocks,),
+        in_specs=[big, small, small, big] + _band_specs(s) + [
+            pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[big, big, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(e_tm, m_tm, mn_tm, a_tm, *[v.reshape(1, s) for v in bands], final_vec)
+    gamma = jnp.swapaxes(gamma, 0, 1)[:, :t_len]
+    w = jnp.swapaxes(w, 0, 1)[:, :t_len]
+    wsum = jnp.swapaxes(wsum[..., 0], 0, 1)[:, :t_len]
+    pnorm = jnp.swapaxes(pnorm[..., 0], 0, 1)[:, :t_len]
+    return gamma, w, wsum, pnorm
+
+
 def _make_smoothing_kernel(k_steps: int, n_blocks: int, t_len: int):
     """Backward recursion in "v-space" + fused smoothing outputs.
 
@@ -231,28 +438,36 @@ def _make_smoothing_kernel(k_steps: int, n_blocks: int, t_len: int):
 
 
 def backward_smoothing_pass(e_llh, trans, final_vec, mask, a_probs,
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            time_major: bool = False):
     """Fused backward + smoothing; see :func:`_make_smoothing_kernel`.
 
-    Batch-major in/out: e_llh/a_probs (B, T, S), mask (B, T).  Returns
-    ``(posteriors, w_probs, w_sums, post_norm)`` with posteriors already
-    masked; exact jnp fallback:
+    Batch-major in/out by default: e_llh/a_probs (B, T, S), mask (B, T).
+    ``time_major=True`` takes/returns (T, B, ·) arrays (mask stays
+    (B, T)).  Returns ``(posteriors, w_probs, w_sums, post_norm)`` with
+    posteriors already masked; exact jnp fallback:
     ``semiring_scan._smoothing_scan`` (tests assert agreement).
     """
-    b, t_len, s = e_llh.shape
+    if time_major:
+        t_len, b, s = e_llh.shape
+    else:
+        b, t_len, s = e_llh.shape
     dtype = e_llh.dtype
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
-    e_p = _pad_time(e_llh, t_pad, 1.0)
-    m_p = _pad_time(mask, t_pad, 0.0)
     mn = jnp.concatenate(
         [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
     )
-    a_p = _pad_time(a_probs, t_pad, 1.0)
-    e_tm = jnp.swapaxes(e_p, 0, 1)
-    m_tm = jnp.swapaxes(m_p, 0, 1)[..., None]
-    mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
-    a_tm = jnp.swapaxes(a_p, 0, 1)
+    if time_major:
+        e_tm = _pad_tm(e_llh, t_pad, 1.0)
+        a_tm = _pad_tm(a_probs, t_pad, 1.0)
+        m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+        mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+    else:
+        e_tm = jnp.swapaxes(_pad_time(e_llh, t_pad, 1.0), 0, 1)
+        m_tm = jnp.swapaxes(_pad_time(mask, t_pad, 0.0), 0, 1)[..., None]
+        mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+        a_tm = jnp.swapaxes(_pad_time(a_probs, t_pad, 1.0), 0, 1)
     n_blocks = t_pad // k_steps
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
     big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
@@ -278,6 +493,9 @@ def backward_smoothing_pass(e_llh, trans, final_vec, mask, a_probs,
         ),
         interpret=interpret,
     )(e_tm, m_tm, mn_tm, a_tm, trans.T, final_vec)
+    if time_major:
+        return (gamma[:t_len], w[:t_len],
+                wsum[:t_len, :, 0], pnorm[:t_len, :, 0])
     gamma = jnp.swapaxes(gamma, 0, 1)[:, :t_len]
     w = jnp.swapaxes(w, 0, 1)[:, :t_len]
     wsum = jnp.swapaxes(wsum[..., 0], 0, 1)[:, :t_len]
@@ -295,23 +513,45 @@ def _pad_time(x, t_pad, fill):
     )
 
 
-def forward_pass(e_llh, trans, init_vec, mask, interpret: bool = False):
+def _pad_tm(x, t_pad, fill):
+    """Pad a time-major array along axis 0."""
+    t_len = x.shape[0]
+    if t_pad == t_len:
+        return x
+    pad_shape = (t_pad - t_len,) + x.shape[1:]
+    return jnp.concatenate([x, jnp.full(pad_shape, fill, x.dtype)], axis=0)
+
+
+def forward_pass(e_llh, trans, init_vec, mask, interpret: bool = False,
+                 time_major: bool = False):
     """Scaled forward; semantics of ``semiring_scan._scaled_pass(False)``.
 
-    Inputs batch-major: e_llh (B, T, S), mask (B, T); outputs likewise.
+    Batch-major by default: e_llh (B, T, S), mask (B, T); outputs
+    likewise.  ``time_major=True`` takes e_llh as (T, B, S) — the
+    kernel's native layout — and returns (T, B, S) probs / (T, B) logcs,
+    skipping all four large transposes (mask stays (B, T); it is small).
     """
-    b, t_len, s = e_llh.shape
+    if time_major:
+        t_len, b, s = e_llh.shape
+    else:
+        b, t_len, s = e_llh.shape
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
     # padded steps: mask 0 ⇒ carry copies through; outputs sliced away
-    e_p = _pad_time(e_llh, t_pad, 1.0)
-    m_p = _pad_time(mask, t_pad, 0.0)
-    e_tm = jnp.swapaxes(e_p, 0, 1)                       # (T', B, S)
-    m_tm = jnp.swapaxes(m_p, 0, 1)[..., None]            # (T', B, 1)
+    if time_major:
+        e_tm = _pad_tm(e_llh, t_pad, 1.0)
+        m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+    else:
+        e_tm = jnp.swapaxes(_pad_time(e_llh, t_pad, 1.0), 0, 1)
+        m_tm = jnp.swapaxes(_pad_time(mask, t_pad, 0.0), 0, 1)[..., None]
     probs, logcs = _call(
         _make_fwd_kernel(k_steps), e_tm, m_tm, trans, init_vec,
         lambda t: (t, 0, 0), k_steps, interpret,
     )
+    if time_major:
+        probs = probs[:t_len]
+        logcs = logcs[:t_len, :, 0]
+        return probs, logcs, (probs[-1], logcs[-1])
     probs = jnp.swapaxes(probs, 0, 1)[:, :t_len]
     logcs = jnp.swapaxes(logcs[..., 0], 0, 1)[:, :t_len]
     return probs, logcs, (probs[:, -1], logcs[:, -1])

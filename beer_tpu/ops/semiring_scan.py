@@ -282,29 +282,101 @@ def _smoothing_scan(e_llh, trans, final_vec, mask, a_probs):
     )
 
 
-@jax.custom_vjp
-def _smoothing_pallas(e_llh, trans, final_vec, mask, a_probs):
-    from beer_tpu.ops import pallas_scan
+def _make_smoothing_diffable(time_major: bool):
+    """Pallas smoothing pass wrapped in ``custom_vjp`` (jnp-scan VJP)."""
 
-    return pallas_scan.backward_smoothing_pass(
-        e_llh, trans, final_vec, mask, a_probs
+    def reference(e_llh, trans, final_vec, mask, a_probs):
+        if not time_major:
+            return _smoothing_scan(e_llh, trans, final_vec, mask, a_probs)
+        g, w, ws, pn = _smoothing_scan(
+            jnp.swapaxes(e_llh, 0, 1), trans, final_vec, mask,
+            jnp.swapaxes(a_probs, 0, 1),
+        )
+        return (jnp.swapaxes(g, 0, 1), jnp.swapaxes(w, 0, 1), ws.T, pn.T)
+
+    @jax.custom_vjp
+    def run(e_llh, trans, final_vec, mask, a_probs):
+        from beer_tpu.ops import pallas_scan
+
+        return pallas_scan.backward_smoothing_pass(
+            e_llh, trans, final_vec, mask, a_probs, time_major=time_major
+        )
+
+    def fwd(*args):
+        return run(*args), args
+
+    def bwd(res, ct):
+        _, vjp = jax.vjp(reference, *res)
+        return vjp(ct)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
+_smoothing_pallas = _make_smoothing_diffable(False)
+_smoothing_pallas_tm = _make_smoothing_diffable(True)
+
+
+def bands_to_dense(bands) -> jnp.ndarray:
+    """(a_self, a_adv, exit, w) → the dense (S, S) probability matrix
+    ``diag(a_self) + superdiag(a_adv) + outer(exit, w)``."""
+    a_self, a_adv, exit_v, w_v = bands
+    s = a_self.shape[0]
+    return (
+        jnp.diag(a_self)
+        + jnp.diag(a_adv[:-1], 1)
+        + exit_v[:, None] * w_v[None, :]
     )
 
 
-def _smoothing_fwd(e_llh, trans, final_vec, mask, a_probs):
-    args = (e_llh, trans, final_vec, mask, a_probs)
-    return _smoothing_pallas(*args), args
+@jax.custom_vjp
+def _banded_fwd_pallas(e_llh, bands, vec, mask):
+    from beer_tpu.ops import pallas_scan
+
+    probs, logcs, _ = pallas_scan.forward_pass_banded(e_llh, bands, vec, mask)
+    return probs, logcs
 
 
-def _smoothing_bwd(res, ct):
-    _, vjp = jax.vjp(_smoothing_scan, *res)
+def _banded_fwd_fwd(*args):
+    return _banded_fwd_pallas(*args), args
+
+
+def _banded_fwd_bwd(res, ct):
+    _, vjp = jax.vjp(
+        lambda e, b, v, m: _scaled_pass(e, bands_to_dense(b), v, m, False)[:2],
+        *res,
+    )
     return vjp(ct)
 
 
-_smoothing_pallas.defvjp(_smoothing_fwd, _smoothing_bwd)
+_banded_fwd_pallas.defvjp(_banded_fwd_fwd, _banded_fwd_bwd)
 
 
-def _make_pallas_diffable(reverse: bool):
+@jax.custom_vjp
+def _banded_smoothing_pallas(e_llh, bands, final_vec, mask, a_probs):
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.backward_smoothing_banded(
+        e_llh, bands, final_vec, mask, a_probs
+    )
+
+
+def _banded_smooth_fwd(*args):
+    return _banded_smoothing_pallas(*args), args
+
+
+def _banded_smooth_bwd(res, ct):
+    _, vjp = jax.vjp(
+        lambda e, b, f, m, a: _smoothing_scan(e, bands_to_dense(b), f, m, a),
+        *res,
+    )
+    return vjp(ct)
+
+
+_banded_smoothing_pallas.defvjp(_banded_smooth_fwd, _banded_smooth_bwd)
+
+
+def _make_pallas_diffable(reverse: bool, time_major: bool = False):
     """Pallas pass wrapped in ``custom_vjp``: kernel forward, jnp backward.
 
     The Pallas kernels have no JVP rule, but callers may differentiate
@@ -314,21 +386,31 @@ def _make_pallas_diffable(reverse: bool):
     only runs when something actually differentiates through the pass.
     """
 
+    def reference(e, t, v, m):
+        if not time_major:
+            return _scaled_pass(e, t, v, m, reverse)[:2]
+        p, l, _ = _scaled_pass(jnp.swapaxes(e, 0, 1), t, v, m, reverse)
+        return jnp.swapaxes(p, 0, 1), l.T
+
     @jax.custom_vjp
     def run(e_llh, trans, vec, mask):
         from beer_tpu.ops import pallas_scan
 
-        fn = pallas_scan.backward_pass if reverse else pallas_scan.forward_pass
-        probs, logcs, _ = fn(e_llh, trans, vec, mask)
+        if reverse:
+            probs, logcs, _ = pallas_scan.backward_pass(
+                e_llh, trans, vec, mask
+            )
+        else:
+            probs, logcs, _ = pallas_scan.forward_pass(
+                e_llh, trans, vec, mask, time_major=time_major
+            )
         return probs, logcs
 
     def fwd(e_llh, trans, vec, mask):
         return run(e_llh, trans, vec, mask), (e_llh, trans, vec, mask)
 
     def bwd(res, ct):
-        _, vjp = jax.vjp(
-            lambda e, t, v, m: _scaled_pass(e, t, v, m, reverse)[:2], *res
-        )
+        _, vjp = jax.vjp(reference, *res)
         return vjp(ct)
 
     run.defvjp(fwd, bwd)
@@ -337,6 +419,7 @@ def _make_pallas_diffable(reverse: bool):
 
 _PALLAS_FWD = _make_pallas_diffable(False)
 _PALLAS_BWD = _make_pallas_diffable(True)
+_PALLAS_FWD_TM = _make_pallas_diffable(False, time_major=True)
 
 
 def _select_pass(trans):
@@ -420,6 +503,8 @@ def forward_backward_probs(
     log_init: jnp.ndarray,
     log_final: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    time_major: bool = False,
+    structured_trans=None,
 ) -> FBProbs:
     """Probability-space smoothing — the training hot path.
 
@@ -437,35 +522,68 @@ def forward_backward_probs(
     :func:`expected_transition_counts_probs` on the same by-products.
     Tests assert agreement with the log path; :class:`FBResult` remains
     available via :func:`forward_backward` for log-domain consumers.
+
+    ``time_major=True`` takes llh as (T, B, S) and returns every (·, ·,
+    S) / per-frame field time-major ((T, B, S) / (T, B)); mask stays
+    (B, T).  This is the fastest layout on TPU — the kernels are
+    time-major natively, so no (B, T, S) transposes run at all; pass
+    the flag through to :func:`expected_transition_counts_probs`.
     """
     from beer_tpu.ops import pallas_scan
 
-    b, t_len, s = llh.shape
+    if time_major:
+        t_len, b, s = llh.shape
+    else:
+        b, t_len, s = llh.shape
     if mask is None:
         mask = jnp.ones((b, t_len), llh.dtype)
     tiny = jnp.finfo(llh.dtype).tiny
+    m_e = mask.T[..., None] if time_major else mask[..., None]
     m_llh = jnp.max(llh, axis=-1, keepdims=True)
-    e_llh = jnp.exp(llh - m_llh) * mask[..., None] + (1 - mask[..., None]) * 1.0
-    shift_total = (m_llh[..., 0] * mask).sum(1)
+    e_llh = jnp.exp(llh - m_llh) * m_e + (1 - m_e) * 1.0
+    shift_total = (m_llh[..., 0] * m_e[..., 0]).sum(0 if time_major else 1)
 
     trans = jnp.exp(log_trans)
     init_vec = jnp.broadcast_to(jnp.exp(_clamp(log_init)), (b, s)).astype(llh.dtype)
     final_vec = jnp.broadcast_to(jnp.exp(_clamp(log_final)), (b, s)).astype(llh.dtype)
-    run = _select_pass(trans)
-    a_probs, a_logcs, (a_last, a_logc_last) = run(
-        e_llh, trans, init_vec, mask, reverse=False
-    )
+    use_pallas = trans.ndim == 2 and pallas_scan.available()
+    if use_pallas and structured_trans is not None and not time_major:
+        # Band + rank-1 transition structure (phone loops): the kernels
+        # replace the per-step (B, S) @ (S, S) MXU matmul with five VPU
+        # passes.  ``structured_trans`` must densify to exp(log_trans)
+        # (PhoneLoop guarantees it; tests assert equality).
+        a_probs, a_logcs = _banded_fwd_pallas(
+            e_llh, structured_trans, init_vec, mask
+        )
+        a_last, a_logc_last = a_probs[:, -1], a_logcs[:, -1]
+        gamma, w, wsum, pnorm = _banded_smoothing_pallas(
+            e_llh, structured_trans, final_vec, mask, a_probs
+        )
+    elif use_pallas:
+        fwd_run = _PALLAS_FWD_TM if time_major else _PALLAS_FWD
+        a_probs, a_logcs = fwd_run(e_llh, trans, init_vec, mask)
+        a_last = a_probs[-1] if time_major else a_probs[:, -1]
+        a_logc_last = a_logcs[-1] if time_major else a_logcs[:, -1]
+        gamma, w, wsum, pnorm = (
+            _smoothing_pallas_tm if time_major else _smoothing_pallas
+        )(e_llh, trans, final_vec, mask, a_probs)
+    else:
+        e_bm = jnp.swapaxes(e_llh, 0, 1) if time_major else e_llh
+        a_probs, a_logcs, (a_last, a_logc_last) = _scaled_pass(
+            e_bm, trans, init_vec, mask, reverse=False
+        )
+        gamma, w, wsum, pnorm = _smoothing_scan(
+            e_bm, trans, final_vec, mask, a_probs
+        )
+        if time_major:
+            a_probs = jnp.swapaxes(a_probs, 0, 1)
+            a_logcs = a_logcs.T
+            gamma = jnp.swapaxes(gamma, 0, 1)
+            w = jnp.swapaxes(w, 0, 1)
+            wsum, pnorm = wsum.T, pnorm.T
     log_z = a_logc_last + shift_total + jnp.log(
         jnp.maximum((a_last * final_vec).sum(-1), tiny)
     )
-    if trans.ndim == 2 and pallas_scan.available():
-        gamma, w, wsum, pnorm = _smoothing_pallas(
-            e_llh, trans, final_vec, mask, a_probs
-        )
-    else:
-        gamma, w, wsum, pnorm = _smoothing_scan(
-            e_llh, trans, final_vec, mask, a_probs
-        )
     return FBProbs(a_probs, gamma, w, wsum, pnorm, a_logcs, log_z)
 
 
@@ -475,6 +593,7 @@ def expected_transition_counts_probs(
     mask: Optional[jnp.ndarray] = None,
     rows: Optional[jnp.ndarray] = None,
     cols: Optional[jnp.ndarray] = None,
+    time_major: bool = False,
 ) -> jnp.ndarray:
     """ξ-counts from the probability-space carries of
     :func:`forward_backward_probs` — the fast path of
@@ -498,29 +617,44 @@ def expected_transition_counts_probs(
     normalizer — both already computed.  (Masked steps copy the carries,
     so c = 1 there; their weight is zeroed by the mask anyway.)
     """
-    u = fbp.probs_fwd[:, :-1]                          # (B, T-1, S)
-    w = fbp.probs_w[:, 1:]
-    b, t_len = fbp.w_sums.shape
-    tiny = jnp.finfo(u.dtype).tiny
-    if mask is None:
-        mask = jnp.ones((b, t_len), u.dtype)
-    trans_prob = jnp.exp(log_trans)
+    tiny = jnp.finfo(fbp.probs_fwd.dtype).tiny
     logcs = fbp.fwd_log_scales
-    step_norm = jnp.exp(logcs[:, 1:] - logcs[:, :-1])  # c_{t+1}
-    denom = step_norm * fbp.post_norm[:, 1:] / jnp.maximum(
-        fbp.w_sums[:, 1:], tiny
-    )
-    weight = jnp.where(denom > 1e-30, mask[:, 1:] / jnp.maximum(denom, 1e-30), 0.0)
-    return _xi_outer(u, w, weight, trans_prob, rows, cols)
+    if time_major:
+        t_len, b = fbp.w_sums.shape
+        u = fbp.probs_fwd[:-1]                         # (T-1, B, S)
+        w = fbp.probs_w[1:]
+        step_norm = jnp.exp(logcs[1:] - logcs[:-1])    # c_{t+1}, (T-1, B)
+        denom = step_norm * fbp.post_norm[1:] / jnp.maximum(
+            fbp.w_sums[1:], tiny
+        )
+        m_tail = jnp.ones((t_len - 1, b), u.dtype) if mask is None \
+            else mask.T[1:]
+    else:
+        b, t_len = fbp.w_sums.shape
+        u = fbp.probs_fwd[:, :-1]                      # (B, T-1, S)
+        w = fbp.probs_w[:, 1:]
+        step_norm = jnp.exp(logcs[:, 1:] - logcs[:, :-1])
+        denom = step_norm * fbp.post_norm[:, 1:] / jnp.maximum(
+            fbp.w_sums[:, 1:], tiny
+        )
+        m_tail = jnp.ones((b, t_len - 1), u.dtype) if mask is None \
+            else mask[:, 1:]
+    weight = jnp.where(denom > 1e-30, m_tail / jnp.maximum(denom, 1e-30), 0.0)
+    return _xi_outer(u, w, weight, jnp.exp(log_trans), rows, cols,
+                     "tbi,tbj,tb->ij" if time_major else "bti,btj,bt->ij")
 
 
-def _xi_outer(u, w, weight, trans_prob, rows, cols):
+def _xi_outer(u, w, weight, trans_prob, rows, cols,
+              spec: str = "bti,btj,bt->ij"):
     """Σ_t weight_t · outer(u_t, w_t) ⊙ A, optionally restricted.
 
     Restriction uses one-hot selection *matmuls*, not fancy-index
     gathers: a strided gather along the minor (lane) axis of a (B, T, S)
     array is a per-element op on TPU — orders of magnitude slower than
-    the equivalent (B·T, S) @ (S, n) MXU contraction.
+    the equivalent (B·T, S) @ (S, n) MXU contraction.  The (batch, time)
+    axes are contracted in place (no reshape — an explicit flatten of
+    the sliced operands forces full-size copies XLA otherwise fuses
+    away).
     """
     if rows is not None:
         s = u.shape[-1]
@@ -530,7 +664,7 @@ def _xi_outer(u, w, weight, trans_prob, rows, cols):
         w = jnp.matmul(w, sel_c.T, precision=jax.lax.Precision.HIGHEST)
         trans_prob = (sel_r @ trans_prob) @ sel_c.T
     outer = jnp.einsum(
-        "bti,btj,bt->ij", u, w, weight,
+        spec, u, w, weight,
         precision=jax.lax.Precision.HIGHEST,
     )
     return outer * trans_prob

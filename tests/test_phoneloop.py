@@ -145,3 +145,25 @@ def test_hyperprior_phone_loop(rng):
         loop.unit_prior.concentration.posterior
     )
     assert float(a) > 1.0
+
+
+def test_structured_trans_densifies_to_graph():
+    """The band + rank-1 factorization fed to the scan kernels must be
+    the same matrix as the dense effective graph (kernel correctness
+    rests on this identity)."""
+    import beer_tpu
+    from beer_tpu.ops import semiring_scan
+
+    for n_units, spu in [(4, 3), (5, 1)]:
+        nset = beer_tpu.NormalSet.create(
+            jnp.zeros(2), jnp.ones(2), size=n_units * spu,
+            cov_type="diagonal", key=jax.random.PRNGKey(0),
+        )
+        loop = PhoneLoop.create(n_units, spu, nset, self_loop=0.7)
+        dense = jnp.exp(loop._effective_graph().log_trans)
+        banded = semiring_scan.bands_to_dense(
+            loop._structured_trans(jnp.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(banded), np.asarray(dense), rtol=1e-6, atol=1e-7
+        )
