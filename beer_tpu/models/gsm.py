@@ -425,7 +425,9 @@ def accumulate_unit_stats(loop, data, mask=None, transitions: bool = False):
     if mask is None:
         mask = jnp.ones((b, t_len), x.dtype)
     stats = loop.sufficient_statistics(x)
-    _, cache = loop.infer(stats, mask=mask)
+    # smooth (not infer): this bridge needs materialized posteriors,
+    # which the fused-E-step cache deliberately never builds
+    _, cache = loop.smooth(stats, mask=mask)
     post = cache["posteriors"]                      # (B, T, S)
     u, p = loop.n_units, loop.states_per_unit
     s_states = u * p

@@ -163,7 +163,62 @@ class PhoneLoop(DiscreteLatentModel):
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
         return self.modelset.sufficient_statistics(_promote(data))
 
+    def _fused_estep_ok(self) -> bool:
+        """The fully-fused E-step kernel path: TPU + diagonal NormalSet
+        emissions (reduced-stats layout) + dense-matmul state count."""
+        from beer_tpu.models.normal import NormalSet
+        from beer_tpu.ops import pallas_scan
+
+        ms = self.modelset
+        return (
+            pallas_scan.available()
+            and type(ms) is NormalSet
+            and ms.cov_type == "diagonal"
+            and not ms.fused
+            and self.n_states < _BANDED_MIN_STATES
+        )
+
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        if self._fused_estep_ok():
+            graph = self._effective_graph()
+            # transpose the (smaller) stats once and compute llh directly
+            # time-major; the same stats_tm is reused by accumulate
+            stats_tm = jnp.swapaxes(stats, 0, 1)
+            llh_tm = self.modelset.expected_log_likelihood(stats_tm)
+            t_len, b, s = llh_tm.shape
+            if mask is None:
+                mask = jnp.ones((b, t_len), llh_tm.dtype)
+            tiny = jnp.finfo(llh_tm.dtype).tiny
+            trans = jnp.exp(graph.log_trans)
+            init_vec = jnp.broadcast_to(
+                jnp.exp(jnp.maximum(graph.log_init, LOG_ZERO)), (b, s)
+            ).astype(llh_tm.dtype)
+            final_vec = jnp.broadcast_to(
+                jnp.exp(jnp.maximum(graph.log_final, LOG_ZERO)), (b, s)
+            ).astype(llh_tm.dtype)
+            a_tm, norms_tm, mllh_tm = semiring_scan.forward_llh(
+                llh_tm, trans, init_vec, mask
+            )
+            log_z = jnp.log(norms_tm).sum(0) + mllh_tm.sum(0) + jnp.log(
+                jnp.maximum((a_tm[-1] * final_vec).sum(-1), tiny)
+            )
+            log_z = log_z * (mask.sum(-1) > 0)
+            return log_z, {
+                "fused": True,
+                "llh_tm": llh_tm,
+                "a_tm": a_tm,
+                "norms_tm": norms_tm,
+                "stats_tm": stats_tm,
+                "mask": mask,
+                "graph": graph,
+                "final_vec": final_vec,
+            }
+        return self.smooth(stats, mask)
+
+    def smooth(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        """General E-step with materialized posteriors in the cache —
+        the fallback of :meth:`infer` and the entry point for consumers
+        that need per-frame posteriors (GSM stats bridging)."""
         graph = self._effective_graph()
         llh_states = self.modelset.expected_log_likelihood(stats)
         # Band + rank-1 kernels are O(S) per step vs the MXU matmul's
@@ -204,12 +259,43 @@ class PhoneLoop(DiscreteLatentModel):
         return loop_counts + init_counts
 
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
+        if cache.get("fused"):
+            return self._accumulate_fused(stats, cache)
         post = cache["posteriors"]  # (B, T, S); pdf_ids are the identity here
         flat_resps = post.reshape(-1, self.n_states)
         flat_stats = stats.reshape((-1,) + stats.shape[2:])
         return {
             "modelset": self.modelset.accumulate(flat_stats, flat_resps),
             "unit_prior": self.unit_prior.accumulate_counts(self._unit_counts(cache)),
+        }
+
+    def _accumulate_fused(self, stats, cache) -> Dict[str, Any]:
+        """Fused kernel: backward recursion + γ + in-kernel restricted ξ
+        (the β̂/w factors never reach HBM); the emission accumulation
+        runs as one MXU-shaped XLA matmul over the time-major γ and the
+        cached time-major stats — no transposes anywhere.  Conjugate
+        statistics carry no gradients (matching the reference's
+        hook-harvested stats), hence the stop_gradient."""
+        sg = jax.lax.stop_gradient
+        graph = cache["graph"]
+        s = self.n_states
+        dt = cache["llh_tm"].dtype
+        sel_r = jax.nn.one_hot(self._ends, s, dtype=dt).T      # (S, U)
+        sel_c = jax.nn.one_hot(self._starts, s, dtype=dt).T    # (S, U)
+        gamma_tm, xi_raw = semiring_scan.phone_loop_estep(
+            sg(cache["llh_tm"]), sg(cache["a_tm"]), sg(cache["norms_tm"]),
+            sg(jnp.exp(graph.log_trans)), sg(cache["final_vec"]),
+            sg(cache["mask"]), sel_r, sel_c,
+        )
+        stats_tm = cache["stats_tm"]
+        flat_resps = gamma_tm.reshape(-1, s)
+        flat_stats = stats_tm.reshape((-1,) + stats_tm.shape[2:])
+        trans_blk = jnp.exp(graph.log_trans)[self._ends][:, self._starts]
+        unit_counts = (xi_raw * sg(trans_blk)).sum(0) \
+            + gamma_tm[0][:, self._starts].sum(0)
+        return {
+            "modelset": self.modelset.accumulate(flat_stats, flat_resps),
+            "unit_prior": self.unit_prior.accumulate_counts(unit_counts),
         }
 
     def kl_div_posterior_prior(self) -> jnp.ndarray:

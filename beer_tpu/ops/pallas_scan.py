@@ -586,6 +586,290 @@ def backward_pass(e_llh, trans, final_vec, mask, interpret: bool = False):
     return probs, logcs, None
 
 
+# ----------------------------------------------------------------------
+# Fully-fused phone-loop E-step path (llh-input kernels, time-major)
+# ----------------------------------------------------------------------
+def _split_bf16(x):
+    """x (f32) → (hi, lo) bf16 with hi + lo ≈ x (~22 mantissa bits)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(x, w_hi, w_lo):
+    """~f32-accurate matmul in 3 bf16 MXU passes (the bf16_3x scheme
+    XLA calls Precision.HIGH, which Pallas does not accept directly).
+    Halves the per-step cost of the 6-pass HIGHEST f32 matmul; relative
+    error ~2⁻²² — well inside the ≤1e-4/frame ELBO parity budget.
+    ``w_hi/w_lo`` from :func:`_split_bf16` (hoisted out of the loop)."""
+    x_hi, x_lo = _split_bf16(x)
+    return (
+        jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
+        + jnp.dot(x_lo, w_hi, preferred_element_type=jnp.float32)
+    )
+
+
+def _exp_tile(llh_t, m_t):
+    """In-kernel scaled likelihoods: e = exp(llh − rowmax), 1 on pads.
+
+    Returns (e, masked rowmax) — the rowmax enters the forward log-scale
+    bookkeeping (Σ_t m_llh·mask is added back into log Z)."""
+    mx = jnp.max(llh_t, axis=-1, keepdims=True)
+    e = m_t * jnp.exp(llh_t - mx) + (1.0 - m_t)
+    return e, mx * m_t
+
+
+def _make_fwd_llh_kernel(k_steps: int):
+    """Forward kernel taking raw llh tiles: exp(llh − rowmax) is computed
+    in VMEM, so the (B, T, S) e_llh array never exists in HBM.  Emits the
+    *raw per-step norms* c_t (1 on masked frames) instead of cumulative
+    log-scales — downstream ξ weights need c_t directly, and a cumsum
+    would force an ill-conditioned exp(logc_t − logc_{t−1}) recovery."""
+
+    def kernel(llh_ref, m_ref, trans_ref, init_ref,
+               prob_out, norm_out, mllh_out, carry_p):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            carry_p[:] = init_ref[:].astype(jnp.float32)
+
+        p = carry_p[:]
+        t_hi, t_lo = _split_bf16(trans_ref[:])
+        for k in range(k_steps):
+            m_t = m_ref[k].astype(jnp.float32)
+            e_t, mllh = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            propagated = _dot3(p, t_hi, t_lo)
+            if k == 0:
+                base = jnp.where(pid == 0, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_t
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            keep = m_t
+            if k == 0:
+                keep = jnp.where(pid == 0, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            prob_out[k] = p.astype(prob_out.dtype)
+            norm_out[k] = (keep * norm + (1.0 - keep)).astype(norm_out.dtype)
+            mllh_out[k] = mllh.astype(mllh_out.dtype)
+        carry_p[:] = p
+
+    return kernel
+
+
+def forward_llh_pass(llh_tm, trans, init_vec, mask, interpret: bool = False):
+    """Scaled forward from raw time-major llh (T, B, S).
+
+    Returns (α̂ (T, B, S), per-step norms c (T, B; 1 on masked frames),
+    masked rowmax shifts (T, B)).
+    ``log Z = Σ_t log c_t + Σ_t mllh_t + log Σ α̂[-1]·final``.
+    """
+    t_len, b, s = llh_tm.shape
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    llh_p = _pad_tm(llh_tm, t_pad, 0.0)
+    m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+    n_blocks = t_pad // k_steps
+    idx = lambda t: (t, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM)
+    probs, norms, mllh = pl.pallas_call(
+        _make_fwd_llh_kernel(k_steps),
+        grid=(n_blocks,),
+        in_specs=[
+            big, small,
+            pl.BlockSpec((s, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[big, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), llh_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), llh_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), llh_tm.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(llh_p, m_tm, trans, init_vec)
+    return (probs[:t_len], norms[:t_len, :, 0], mllh[:t_len, :, 0])
+
+
+def _make_estep_kernel(k_steps: int, n_blocks: int):
+    """Fused phone-loop E-step epilogue: backward recursion + ALL
+    accumulations in one kernel — nothing (B, T, S)-sized is written.
+
+    Per step t (time descending; v-space recursion as in
+    :func:`_make_smoothing_kernel`, with e computed in-kernel):
+
+      γ_t ∝ α̂_t ⊙ u1_t                       (normalize; posteriors)
+      acc += γ_tᵀ @ stats_t                   (emission statistics, (S, P))
+      cnt += Σ_b γ_t                          (occupancy counts)
+      ξ   += (u_selᵗ ⊙ weight_{t→t+1}) ⊗ w_sel_{t+1}
+             with u_sel = α̂_t @ sel_r, w_sel = ŵ @ sel_c, and the
+             pair weight from the exact identity weight = m_{t+1} /
+             (c_{t+1} · Σα̂u1 / Σ e·u1)   (nu cancels; c = forward norm)
+      γ at t = 0 emitted separately (unit start occupancies).
+
+    The ξ output is the raw Σ_t weight·outer — multiply by the
+    restricted transition block outside.
+    """
+
+    def kernel(llh_ref, m_ref, mn_ref, a_ref, cnorm_ref,
+               trans_t_ref, final_ref, selr_ref, selc_ref,
+               gamma_out, xi_out,
+               carry_v, carry_wsel, carry_wgt, xi, wsel_tile, wgt_tile):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            carry_v[:] = f / jnp.maximum(f.sum(-1, keepdims=True), tiny)
+            carry_wsel[:] = jnp.zeros_like(carry_wsel)
+            carry_wgt[:] = jnp.zeros_like(carry_wgt)
+            xi[:] = jnp.zeros_like(xi)
+
+        v_hat = carry_v[:]
+        # pair factors of (base+K−1 → base+K), prepared by the previous
+        # (later-time) block
+        prev_wsel = carry_wsel[:]
+        prev_wgt = carry_wgt[:]
+        tt_hi, tt_lo = _split_bf16(trans_t_ref[:])
+        final = final_ref[:].astype(jnp.float32)
+        sel_c = selc_ref[:]
+        hi = jax.lax.Precision.HIGHEST
+        b = v_hat.shape[0]
+        # recursion: the γ posteriors stream straight to HBM (the big
+        # emission accumulation γᵀ@stats runs as one XLA matmul outside
+        # — in-kernel sublane-contracting dots forced Mosaic transposes
+        # and lost to the MXU-shaped einsum); only the small ξ factors
+        # are buffered and contracted per block here
+        for k in range(k_steps - 1, -1, -1):
+            m_t = m_ref[k].astype(jnp.float32)
+            mn_t = mn_ref[k].astype(jnp.float32)
+            is_last = m_t * (1.0 - mn_t)
+            e_t, _ = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            a_t = a_ref[k].astype(jnp.float32)
+            u1 = _dot3(v_hat, tt_hi, tt_lo)
+            u1 = is_last * final + (1.0 - is_last) * u1
+            # posteriors: γ ∝ a·u1 (the β̂ normalizer cancels)
+            ab = a_t * u1
+            pn = jnp.maximum(ab.sum(-1, keepdims=True), tiny)
+            gamma = (ab / pn) * m_t
+            gamma_out[k] = gamma.astype(gamma_out.dtype)
+            # pair (t−1 → t) factors: w selection + exact weight
+            v = e_t * u1
+            sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
+            w = v / sv
+            wsel_tile[k] = jnp.dot(w, sel_c,
+                                   preferred_element_type=jnp.float32,
+                                   precision=hi)
+            denom = cnorm_ref[k].astype(jnp.float32) * ab.sum(
+                -1, keepdims=True
+            ) / sv
+            wgt_tile[k] = jnp.where(denom > 1e-30,
+                                    m_t / jnp.maximum(denom, 1e-30), 0.0)
+            v_hat = m_t * w + (1.0 - m_t) * v_hat
+        carry_v[:] = v_hat
+
+        # ---- ξ block contraction: u_sel over the whole a-tile; in-block
+        # pairs use (wsel, wgt) at k+1; the boundary pair uses the
+        # previous (later-time) block's carry
+        u_sel_all = jnp.dot(
+            a_ref[:].astype(jnp.float32).reshape(k_steps * b, -1),
+            selr_ref[:],
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(k_steps, b, -1)                          # (K, B, R)
+        wsel_all = wsel_tile[:]
+        wgt_all = wgt_tile[:]
+        uw_in = (u_sel_all[:-1] * wgt_all[1:]).reshape((k_steps - 1) * b, -1)
+        xi_v = xi[:] + jax.lax.dot_general(
+            uw_in, wsel_all[1:].reshape((k_steps - 1) * b, -1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        xi_v = xi_v + jax.lax.dot_general(
+            u_sel_all[k_steps - 1] * prev_wgt, prev_wsel,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        carry_wsel[:] = wsel_all[0]
+        carry_wgt[:] = wgt_all[0]
+        xi[:] = xi_v
+        xi_out[:] = xi_v.astype(xi_out.dtype)
+
+    return kernel
+
+
+def phone_loop_estep_pass(llh_tm, a_tm, norms_tm, trans,
+                          final_vec, mask, sel_r, sel_c,
+                          interpret: bool = False):
+    """Fused backward smoothing + in-kernel restricted ξ; see
+    :func:`_make_estep_kernel`.
+
+    Inputs time-major: llh_tm/a_tm (T, B, S), norms_tm (T, B) (forward
+    per-step norms); mask (B, T); sel_r/sel_c (S, n) one-hot state
+    selections (ξ row/col restriction).  Returns ``(gamma (T, B, S)
+    state posteriors, xi_raw (n_r, n_c))``.
+    """
+    t_len, b, s = llh_tm.shape
+    n_r, n_c = sel_r.shape[1], sel_c.shape[1]
+    dtype = llh_tm.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    llh_p = _pad_tm(llh_tm, t_pad, 0.0)
+    a_p = _pad_tm(a_tm, t_pad, 1.0)
+    m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+    mn = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
+    )
+    mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+    cn_tm = _pad_tm(norms_tm, t_pad, 1.0)[..., None]
+    n_blocks = t_pad // k_steps
+    rev = lambda g: (n_blocks - 1 - g, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), rev, memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    gamma, xi = pl.pallas_call(
+        _make_estep_kernel(k_steps, n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            big, small, small, big, small,
+            const2((s, s)), const2((b, s)), const2((s, n_r)),
+            const2((s, n_c)),
+        ],
+        out_specs=[big, const2((n_r, n_c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((n_r, n_c), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, s), jnp.float32),
+            pltpu.VMEM((b, n_c), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((n_r, n_c), jnp.float32),
+            pltpu.VMEM((k_steps, b, n_c), jnp.float32),
+            pltpu.VMEM((k_steps, b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(llh_p, m_tm, mn_tm, a_p, cn_tm, trans.T, final_vec,
+      sel_r, sel_c)
+    return gamma[:t_len], xi
+
+
 @functools.cache
 def available() -> bool:
     """Pallas path only on real TPU backends.

@@ -317,6 +317,71 @@ _smoothing_pallas = _make_smoothing_diffable(False)
 _smoothing_pallas_tm = _make_smoothing_diffable(True)
 
 
+@jax.custom_vjp
+def forward_llh(llh_tm, trans, init_vec, mask):
+    """Pallas scaled forward from raw time-major llh (no HBM e_llh);
+    returns (α̂ (T, B, S), per-step norms (T, B), masked rowmax shifts
+    (T, B)).  custom_vjp recomputes through the jnp scan (SVAE
+    ∂log Z/∂llh)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_pass(llh_tm, trans, init_vec, mask)
+
+
+def _fwd_llh_reference(llh_tm, trans, init_vec, mask):
+    llh = jnp.swapaxes(llh_tm, 0, 1)
+    m_llh = jnp.max(llh, axis=-1, keepdims=True)
+    e = jnp.exp(llh - m_llh) * mask[..., None] + (1 - mask[..., None])
+    p, l, _ = _scaled_pass(e, trans, init_vec, mask, reverse=False)
+    # cumulative log-scales → per-step norms (1 on masked frames)
+    dlc = jnp.diff(l, axis=1, prepend=jnp.zeros_like(l[:, :1]))
+    norms = jnp.exp(dlc)
+    return (jnp.swapaxes(p, 0, 1), norms.T, (m_llh[..., 0] * mask).T)
+
+
+def _fwd_llh_fwd(*args):
+    return forward_llh(*args), args
+
+
+def _fwd_llh_bwd(res, ct):
+    _, vjp = jax.vjp(_fwd_llh_reference, *res)
+    return vjp(ct)
+
+
+forward_llh.defvjp(_fwd_llh_fwd, _fwd_llh_bwd)
+
+
+def phone_loop_estep(llh_tm, a_tm, norms_tm, trans, final_vec,
+                     mask, sel_r, sel_c):
+    """Fused phone-loop smoothing + in-kernel restricted ξ (Pallas; TPU
+    only); returns (γ (T, B, S), raw ξ outer (n_r, n_c)).
+
+    See :func:`beer_tpu.ops.pallas_scan.phone_loop_estep_pass`.  Not
+    differentiable — conjugate statistics never carry gradients; callers
+    stop-gradient the inputs.  jnp reference for tests:
+    :func:`phone_loop_estep_reference`.
+    """
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_pass(
+        llh_tm, a_tm, norms_tm, trans, final_vec, mask, sel_r, sel_c,
+    )
+
+
+def phone_loop_estep_reference(llh, log_trans, log_init, log_final,
+                               mask, rows, cols):
+    """jnp composition equal to the fused E-step kernel (batch-major
+    llh): (γ posteriors (B, T, S), raw ξ outer (R, C))."""
+    fbp = forward_backward_probs(llh, log_trans, log_init, log_final, mask)
+    xi = expected_transition_counts_probs(
+        fbp, log_trans, mask, rows=rows, cols=cols
+    )
+    trans_blk = jnp.exp(log_trans)[rows][:, cols]
+    xi_raw = xi / jnp.maximum(trans_blk, jnp.finfo(llh.dtype).tiny)
+    xi_raw = jnp.where(trans_blk > 0, xi_raw, 0.0)
+    return fbp.posteriors, xi_raw
+
+
 def bands_to_dense(bands) -> jnp.ndarray:
     """(a_self, a_adv, exit, w) → the dense (S, S) probability matrix
     ``diag(a_self) + superdiag(a_adv) + outer(exit, w)``."""
@@ -662,7 +727,11 @@ def _xi_outer(u, w, weight, trans_prob, rows, cols,
         sel_c = jax.nn.one_hot(cols, s, dtype=u.dtype)     # (n_c, S)
         u = jnp.matmul(u, sel_r.T, precision=jax.lax.Precision.HIGHEST)
         w = jnp.matmul(w, sel_c.T, precision=jax.lax.Precision.HIGHEST)
-        trans_prob = (sel_r @ trans_prob) @ sel_c.T
+        # the (S, S) block restriction stays a *gather* — it is tiny, and
+        # a selection matmul at default precision rounds the transition
+        # probabilities to bf16 (~0.3% ξ bias, caught against an f64
+        # brute-force forward-backward oracle)
+        trans_prob = trans_prob[rows][:, cols]
     outer = jnp.einsum(
         spec, u, w, weight,
         precision=jax.lax.Precision.HIGHEST,

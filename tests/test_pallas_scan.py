@@ -116,3 +116,65 @@ def test_banded_smoothing_matches_dense(rng):
         np.testing.assert_allclose(
             np.asarray(p), np.asarray(r), rtol=1e-5, atol=1e-6, err_msg=name
         )
+
+
+def test_fused_estep_matches_reference(rng):
+    """phone_loop_estep_pass (interpret) == the general-path composition
+    (forward_backward_probs posteriors/xi + einsum accumulation)."""
+    b, t_len, n_units, spu, d = 3, 17, 4, 3, 2
+    s = n_units * spu
+    lt, li, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    stats = rng.normal(size=(b, t_len, 2 * d)).astype(np.float32)
+    lengths = [t_len, 9, 1]
+    mask = np.zeros((b, t_len), np.float32)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    args = (jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li),
+            jnp.asarray(lf), jnp.asarray(mask))
+    ref = semiring_scan.phone_loop_estep_reference(
+        args[0], args[1], args[2], args[3], args[4], rows, cols,
+    )
+    # fused kernel inputs: time-major + forward by-products
+    llh_tm = jnp.swapaxes(args[0], 0, 1)
+    trans = jnp.exp(args[1])
+    iv = jnp.broadcast_to(jnp.exp(args[2]), (b, s)).astype(jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(args[3]), (b, s)).astype(jnp.float32)
+    m_llh = jnp.max(args[0], axis=-1, keepdims=True)
+    e = jnp.exp(args[0] - m_llh) * mask[..., None] + (1 - mask[..., None])
+    a_bm, logc_bm, _ = semiring_scan._scaled_pass(
+        e.astype(jnp.float32), trans, iv, args[4], reverse=False
+    )
+    norms_bm = jnp.exp(jnp.diff(
+        logc_bm, axis=1, prepend=jnp.zeros_like(logc_bm[:, :1])
+    ))
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+    gamma_tm, xi_raw = pallas_scan.phone_loop_estep_pass(
+        llh_tm, jnp.swapaxes(a_bm, 0, 1), norms_bm.T, trans, fv, args[4],
+        sel_r, sel_c, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(gamma_tm, 0, 1)), np.asarray(ref[0]),
+        rtol=2e-4, atol=1e-5, err_msg="gamma",
+    )
+    np.testing.assert_allclose(
+        np.asarray(xi_raw), np.asarray(ref[1]), rtol=2e-4, atol=1e-5,
+        err_msg="xi_raw",
+    )
+
+
+def test_forward_llh_matches_reference(rng):
+    e_llh, trans, init, final, mask = make_case(rng)
+    llh = jnp.log(jnp.maximum(e_llh, 1e-30)) - 3.0  # arbitrary levels
+    p_ref, l_ref, s_ref = semiring_scan._fwd_llh_reference(
+        jnp.swapaxes(llh, 0, 1), trans, init, mask
+    )
+    p, l, sh = pallas_scan.forward_llh_pass(
+        jnp.swapaxes(llh, 0, 1), trans, init, mask, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(s_ref), rtol=1e-5, atol=1e-6)
