@@ -22,6 +22,20 @@ maps (time descending inside each block) and the transposed transition
 matrix.  Exact jnp fallback: ``semiring_scan._scaled_pass`` (tests assert
 agreement in interpret mode); callers pass batch-major (B, T, S) and
 transposes happen here.
+
+Kernel inventory (each with an exact jnp fallback in semiring_scan):
+
+* :func:`forward_pass` / :func:`backward_pass` — scaled passes over
+  precomputed e_llh (the log-domain ``forward_backward`` recovery path),
+* :func:`backward_smoothing_pass` — v-space backward + fused smoothing
+  (γ, ŵ, normalizers emitted in-step; no transcendentals),
+* :func:`forward_pass_banded` / :func:`backward_smoothing_banded` —
+  band + rank-1 phone-loop transitions, O(S) per step (used for large
+  state counts where the dense MXU step loses),
+* :func:`forward_llh_pass` + :func:`phone_loop_estep_pass` — the fully
+  fused training hot path: raw-llh inputs (e never in HBM), per-step
+  norms for exactly-conditioned ξ weights, in-kernel restricted ξ, and
+  3-bf16-pass (~f32) transition matmuls.
 """
 
 from __future__ import annotations
