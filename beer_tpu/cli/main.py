@@ -13,6 +13,28 @@ GROUPS = {
     "shmm": ["train"],
 }
 
+# Subcommands whose work is accelerator-worthy.  Everything else (model
+# construction, manifests, small per-utterance prep) is a handful of
+# eager ops — on a remote-compiled TPU backend (axon tunnel) every eager
+# op is a compile round trip, turning a millisecond job into minutes —
+# so those default to CPU.  Decode/align also default to CPU: they
+# recompile per utterance length, which the tunnel makes minutes-per-
+# shape (pass --device tpu for large bucketed corpora).  Override with
+# --device.
+_TPU_WORTHY = {("hmm", "train"), ("shmm", "train")}
+
+
+def _apply_device(args) -> None:
+    device = getattr(args, "device", "auto")
+    if device == "auto":
+        device = "tpu" if (args.group, args.command) in _TPU_WORTHY else "cpu"
+    if device == "cpu":
+        import jax
+
+        # must be a config update, not JAX_PLATFORMS: the axon
+        # sitecustomize force-registers the TPU backend via env
+        jax.config.update("jax_platforms", "cpu")
+
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
@@ -26,9 +48,15 @@ def main(argv=None) -> int:
         for cmd in cmds:
             mod = importlib.import_module(f"beer_tpu.cli.subcommands.{group}_{cmd}")
             sparser = subs.add_parser(cmd, help=mod.__doc__)
+            sparser.add_argument(
+                "--device", choices=["auto", "cpu", "tpu"], default="auto",
+                help="compute device (auto: CPU for prep commands, "
+                     "accelerator for training/decoding)",
+            )
             mod.setup(sparser)
             sparser.set_defaults(_main=mod.main)
     args = parser.parse_args(argv)
+    _apply_device(args)
     return args._main(args) or 0
 
 

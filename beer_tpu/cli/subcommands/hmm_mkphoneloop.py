@@ -43,10 +43,18 @@ def main(args):
     else:
         cov = jnp.asarray(np.diag(flat.var(0)))
 
+    # init unit-state means from random data frames (reference behavior):
+    # every state starts inside the data manifold, so no single unit can
+    # win all responsibilities in the first lrate-1 VB step and collapse
+    # the loop
+    rng = np.random.default_rng(seed)
+    n_states = n_units * states_per_unit
+    frames = flat[rng.choice(len(flat), size=n_states, replace=len(flat) < n_states)]
+    frames = frames + 0.1 * noise_std * flat.std(0) * rng.standard_normal(frames.shape)
     nset = beer_tpu.NormalSet.create(
-        mean, cov, size=n_units * states_per_unit,
+        mean, cov, size=n_states,
         prior_strength=prior_strength, noise_std=noise_std, cov_type=cov_type,
-        key=jax.random.PRNGKey(seed),
+        key=jax.random.PRNGKey(seed), init_means=jnp.asarray(frames),
     )
     unit_prior = None
     if conf.get("hyperprior", False):

@@ -66,10 +66,15 @@ def main(args):
     )
 
     n_pdfs = len(phones) * states_per_phone
+    # init pdf means from random data frames (see hmm_mkphoneloop)
+    rng = np.random.default_rng(seed)
+    n_comps = n_pdfs * ncomp
+    frames = flat[rng.choice(len(flat), size=n_comps, replace=len(flat) < n_comps)]
+    frames = frames + 0.1 * noise_std * flat.std(0) * rng.standard_normal(frames.shape)
     nset = beer_tpu.NormalSet.create(
-        mean, cov, size=n_pdfs * ncomp,
+        mean, cov, size=n_comps,
         prior_strength=prior_strength, noise_std=noise_std, cov_type=cov_type,
-        key=jax.random.PRNGKey(seed),
+        key=jax.random.PRNGKey(seed), init_means=jnp.asarray(frames),
     )
     emissions = MixtureSet.create(nset, nmix=n_pdfs)
     save_model(emissions, args.out)

@@ -503,16 +503,23 @@ def _inv_digamma(y: jnp.ndarray, iters: int = 15) -> jnp.ndarray:
     return x
 
 
-def _gamma_from_moments(e_lam, e_loglam, iters: int = 20):
+def _gamma_from_moments(e_lam, e_loglam, iters: int = 20,
+                        max_shape: float = 1e5):
     """(a, b) of a Gamma matching E[λ] and E[log λ] (Newton on
-    ψ(a) − log a = E[logλ] − log E[λ])."""
-    c = jnp.minimum(e_loglam - jnp.log(e_lam), -1e-8)
+    ψ(a) − log a = E[logλ] − log E[λ]).
+
+    ``max_shape`` bounds the matched pseudo-count: a nearly-deterministic
+    subspace posterior drives c → 0⁻ and a → ∞, and natural parameters
+    of that magnitude make the f32 Bregman-KL evaluation pure
+    cancellation noise (observed as ±1e10 ELBO garbage on TPU) without
+    changing the induced E[T] measurably."""
+    c = jnp.minimum(e_loglam - jnp.log(e_lam), -0.5 / max_shape)
     a = -0.5 / c                                    # ψ(a)−ln a ≈ −1/(2a)
     for _ in range(iters):
         f = digamma(a) - jnp.log(a) - c
         fp = polygamma(1, a) - 1.0 / a
         a = jnp.clip(a - f / fp, a * 0.1, a * 10.0)
-        a = jnp.maximum(a, 1e-3)
+        a = jnp.clip(a, 1e-3, max_shape)
     return a, a / e_lam
 
 
@@ -593,7 +600,9 @@ def apply_to_phoneloop(gsm: GSM, loop, key=None, nsamples: int = 64,
         m4 = mom["e_log_lam"].reshape(-1, d)
         a, b = _gamma_from_moments(m1, m4)
         m = m2 / m1
-        var_term = jnp.maximum(m3 - m2**2 / m1, 1e-8)  # = 1/κ
+        # 1/κ; the 1e-5 floor caps κ at 1e5 — sharper pseudo-counts only
+        # feed f32 log-norm cancellation (see _gamma_from_moments)
+        var_term = jnp.maximum(m3 - m2**2 / m1, 1e-5)
         kappa = 1.0 / var_term
 
     modelset = loop.modelset

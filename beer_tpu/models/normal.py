@@ -111,12 +111,17 @@ class NormalSet(ModelSet):
         noise_std: float = 0.1,
         cov_type: str = "full",
         key: jax.Array | None = None,
+        init_means: jnp.ndarray | None = None,
     ) -> "NormalSet":
         """K components centered on ``mean`` with jittered posterior means.
 
         Mirrors the reference factory: the prior is centered on the global
         (mean, cov); posterior means get N(0, noise_std²) jitter so VB-EM
-        breaks symmetry.
+        breaks symmetry.  ``init_means`` (K, D) overrides the jittered
+        means — e.g. random data frames, which start every component
+        inside the data manifold (jitter around a far-away global mean
+        lets the first lucky component win all responsibilities and
+        collapse the mixture/loop at lrate 1).
         """
         mean = jnp.asarray(mean)
         cov = jnp.asarray(cov)
@@ -125,15 +130,20 @@ class NormalSet(ModelSet):
             cov_type = "shared_full"
         if key is None:
             key = jax.random.PRNGKey(1)
-        noise = noise_std * jax.random.normal(key, (size, dim), mean.dtype)
+        if init_means is not None:
+            post_means = jnp.asarray(init_means, mean.dtype)
+        else:
+            post_means = mean + noise_std * jax.random.normal(
+                key, (size, dim), mean.dtype
+            )
         if cov_type in _UNSHARED:
             fam, prior = _prior_nat(cov_type, mean, cov, prior_strength)
             prior = jnp.broadcast_to(prior, (size,) + prior.shape)
-            _, post = _prior_nat(cov_type, mean + noise, cov, prior_strength)
+            _, post = _prior_nat(cov_type, post_means, cov, prior_strength)
         else:
             means = jnp.broadcast_to(mean, (size, dim))
             fam, prior = _shared_prior_nat(cov_type, means, cov, prior_strength)
-            _, post = _shared_prior_nat(cov_type, means + noise, cov, prior_strength)
+            _, post = _shared_prior_nat(cov_type, post_means, cov, prior_strength)
         param = BayesianParameter(prior=prior, posterior=post, family=fam)
         fused = cov_type == "full" and stats_kernels.use_fused_full(dim, size)
         return cls(
