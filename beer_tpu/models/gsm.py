@@ -212,6 +212,12 @@ class GSM:
         emission = st["emission"]                     # (U, P, K, 4D)
         if st.get("comp_counts") is None:
             counts = unit_counts
+            if counts is None:
+                raise ValueError(
+                    "expected_llh_of_stats: the array form of unit_stats "
+                    "carries no frame counts — pass unit_counts (U,) or "
+                    "(U, P), or pass the accumulate_unit_stats dict"
+                )
             if counts.ndim == 1:
                 counts = counts[:, None]
             comp_counts = counts[..., None]           # (U, P, 1)

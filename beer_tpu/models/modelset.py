@@ -47,7 +47,25 @@ class JointModelSet(ModelSet):
 
     @classmethod
     def create(cls, modelsets) -> "JointModelSet":
-        return cls(modelsets=tuple(modelsets))
+        sets = tuple(modelsets)
+        # All members score the SAME stats array (member 0's layout), so a
+        # full-cov + diag-cov mix would be silently wrong — reject any
+        # detectable layout mismatch up front.
+        sigs = [
+            (
+                getattr(s, "cov_type", None),
+                getattr(s, "dim", None),
+                getattr(s, "fused", None),
+            )
+            for s in sets
+        ]
+        known = {sig for sig in sigs if any(v is not None for v in sig)}
+        if len(known) > 1:
+            raise ValueError(
+                "JointModelSet members must share one sufficient-statistics "
+                f"layout; got (cov_type, dim, fused) signatures {sorted(known)}"
+            )
+        return cls(modelsets=sets)
 
     def __len__(self) -> int:
         return sum(len(s) for s in self.modelsets)

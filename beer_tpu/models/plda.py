@@ -28,6 +28,24 @@ from beer_tpu.models.parameters import BayesianParameter
 
 LOG_2PI = math.log(2.0 * math.pi)
 
+def _f32_matmuls(fn):
+    """Force f32 (HIGHEST) matmul precision inside VB math.
+
+    On TPU the default single-pass bf16 matmuls perturb the closed-form
+    coordinate updates enough to break ELBO monotonicity (observed
+    ~0.5%/step on-chip); these paths are tiny, so full precision is
+    free.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 
 @struct.dataclass
 class PLDA(Model):
@@ -82,6 +100,7 @@ class PLDA(Model):
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
         return data
 
+    @_f32_matmuls
     def infer(self, stats: jnp.ndarray, labels: Optional[jnp.ndarray] = None,
               n_classes: Optional[int] = None):
         """q(h_i) per class; per-frame ELBO contributions.
@@ -127,6 +146,7 @@ class PLDA(Model):
         }
         return llh, cache
 
+    @_f32_matmuls
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
         xc, labels = cache["xc"], cache["labels"]
         m_per = cache["m_h"][labels]
@@ -151,36 +171,54 @@ class PLDA(Model):
         )
         return kl_f + self.prec.kl_div_posterior_prior()
 
-    def vb_update(self, acc: Dict[str, Any], lrate: float = 1.0) -> "PLDA":
+    def mean_field_factorization(self):
+        """Two coordinate-ascent groups: subspace F (+μ), then noise λ."""
+        return [["f_mean", "f_cov", "mean"], ["prec"]]
+
+    @_f32_matmuls
+    def vb_update(self, acc: Dict[str, Any], lrate: float = 1.0,
+                  group=None) -> "PLDA":
+        """``group`` restricts the update (see :meth:`PPCA.vb_update`)."""
+        sel = set(group) if group is not None else {"f_mean", "f_cov", "mean", "prec"}
         d, q = self.obs_dim, self.latent_dim
         e_lam, _ = self._e_lam()
         eye = jnp.eye(q, dtype=acc["c"].dtype)
         # -- F rows (per-dim cov; batched (D, Q, Q) inverse) --
-        f_cov = jnp.linalg.inv(eye[None] + e_lam[:, None, None] * acc["s_h"][None])
-        f_mean = jnp.einsum(
-            "d,dq,dqr->dr", e_lam, acc["c"], f_cov
-        )
-        if lrate != 1.0:
-            f_mean = self.f_mean + lrate * (f_mean - self.f_mean)
-            f_cov = self.f_cov + lrate * (f_cov - self.f_cov)
+        if "f_mean" in sel:
+            f_cov = jnp.linalg.inv(eye[None] + e_lam[:, None, None] * acc["s_h"][None])
+            f_mean = jnp.einsum(
+                "d,dq,dqr->dr", e_lam, acc["c"], f_cov
+            )
+            if lrate != 1.0:
+                f_mean = self.f_mean + lrate * (f_mean - self.f_mean)
+                f_cov = self.f_cov + lrate * (f_cov - self.f_cov)
+        else:
+            f_mean, f_cov = self.f_mean, self.f_cov
         # -- λ per dim --
-        e_ff = jnp.einsum("di,dj->dij", f_mean, f_mean) + f_cov
-        resid = (
-            acc["sum_sq"]
-            - 2.0 * jnp.einsum("dq,dq->d", f_mean, acc["c"])
-            + jnp.einsum("dij,ij->d", e_ff, acc["s_h"])
-        )
-        lam_stats = jnp.stack(
-            [-0.5 * resid, 0.5 * acc["n"] * jnp.ones_like(resid)], axis=-1
-        )
-        prec = self.prec.natural_update(lam_stats, lrate)
+        if "prec" in sel:
+            e_ff = jnp.einsum("di,dj->dij", f_mean, f_mean) + f_cov
+            resid = (
+                acc["sum_sq"]
+                - 2.0 * jnp.einsum("dq,dq->d", f_mean, acc["c"])
+                + jnp.einsum("dij,ij->d", e_ff, acc["s_h"])
+            )
+            lam_stats = jnp.stack(
+                [-0.5 * resid, 0.5 * acc["n"] * jnp.ones_like(resid)], axis=-1
+            )
+            prec = self.prec.natural_update(lam_stats, lrate)
+        else:
+            prec = self.prec
         # -- μ --
-        mean = (acc["sum_x"] - f_mean @ acc["sum_m"]) / acc["n"]
-        if lrate != 1.0:
-            mean = self.mean + lrate * (mean - self.mean)
+        if "mean" in sel:
+            mean = (acc["sum_x"] - f_mean @ acc["sum_m"]) / acc["n"]
+            if lrate != 1.0:
+                mean = self.mean + lrate * (mean - self.mean)
+        else:
+            mean = self.mean
         return self.replace(f_mean=f_mean, f_cov=f_cov, mean=mean, prec=prec)
 
     # -- scoring ---------------------------------------------------------
+    @_f32_matmuls
     def llr_score(self, e1: jnp.ndarray, e2: jnp.ndarray) -> jnp.ndarray:
         """log p(e1, e2 | same class) − log p(e1, e2 | different classes).
 

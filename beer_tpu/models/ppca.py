@@ -28,6 +28,24 @@ from beer_tpu.models.parameters import BayesianParameter
 
 LOG_2PI = math.log(2.0 * math.pi)
 
+def _f32_matmuls(fn):
+    """Force f32 (HIGHEST) matmul precision inside VB math.
+
+    On TPU the default single-pass bf16 matmuls perturb the closed-form
+    coordinate updates enough to break ELBO monotonicity (observed
+    ~0.5%/step on-chip); these paths are tiny, so full precision is
+    free.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 
 @struct.dataclass
 class PPCA(Model):
@@ -75,6 +93,7 @@ class PPCA(Model):
     def sufficient_statistics(self, data: jnp.ndarray) -> jnp.ndarray:
         return data
 
+    @_f32_matmuls
     def infer(self, stats: jnp.ndarray):
         """q(z_n) and per-frame ELBO contributions."""
         x = stats
@@ -98,6 +117,7 @@ class PPCA(Model):
         llh = e_logpx + e_logpz + ent
         return llh, {"m": m, "cov_z": cov_z, "resid": resid, "xc": xc}
 
+    @_f32_matmuls
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
         x, m, cov_z = stats, cache["m"], cache["cov_z"]
         n = x.shape[0]
@@ -121,32 +141,54 @@ class PPCA(Model):
         )
         return kl_w + self.prec.kl_div_posterior_prior()
 
-    def vb_update(self, acc: Dict[str, Any], lrate: float = 1.0) -> "PPCA":
-        """Coordinate ascent: W (given old λ) → λ (given new W) → μ."""
+    def mean_field_factorization(self):
+        """Two coordinate-ascent groups: subspace W (+μ), then noise λ."""
+        return [["w_mean", "w_cov", "mean"], ["prec"]]
+
+    @_f32_matmuls
+    def vb_update(self, acc: Dict[str, Any], lrate: float = 1.0,
+                  group=None) -> "PPCA":
+        """Coordinate ascent: W (given old λ) → λ (given new W) → μ.
+
+        ``group`` restricts the update to those fields, holding the rest
+        at their current values *inside* the computation — so each
+        mean-field group step is an exact coordinate update.
+        """
+        sel = set(group) if group is not None else {"w_mean", "w_cov", "mean", "prec"}
         d, q = self.obs_dim, self.latent_dim
         e_lam, _ = self._e_lam()
         # -- W --
-        w_cov = jnp.linalg.inv(jnp.eye(q, dtype=acc["c"].dtype) + e_lam * acc["s_z"])
-        w_mean = e_lam * acc["c"] @ w_cov
-        if lrate != 1.0:
-            w_mean = self.w_mean + lrate * (w_mean - self.w_mean)
-            w_cov = self.w_cov + lrate * (w_cov - self.w_cov)
+        if "w_mean" in sel:
+            w_cov = jnp.linalg.inv(jnp.eye(q, dtype=acc["c"].dtype) + e_lam * acc["s_z"])
+            w_mean = e_lam * acc["c"] @ w_cov
+            if lrate != 1.0:
+                w_mean = self.w_mean + lrate * (w_mean - self.w_mean)
+                w_cov = self.w_cov + lrate * (w_cov - self.w_cov)
+        else:
+            w_mean, w_cov = self.w_mean, self.w_cov
         # -- λ -- (Gamma natural stats: [Σ -residual/2, Σ D/2])
-        e_wtw = w_mean.T @ w_mean + d * w_cov
-        resid_tot = (
-            acc["sum_sq"]
-            - 2.0 * jnp.trace(w_mean.T @ acc["c"])
-            + jnp.einsum("ij,ij->", e_wtw, acc["s_z"])
-        )
-        lam_stats = jnp.stack([-0.5 * resid_tot, 0.5 * d * acc["n"]])
-        prec = self.prec.natural_update(lam_stats, lrate)
+        if "prec" in sel:
+            e_wtw = w_mean.T @ w_mean + d * w_cov
+            resid_tot = (
+                acc["sum_sq"]
+                - 2.0 * jnp.trace(w_mean.T @ acc["c"])
+                + jnp.einsum("ij,ij->", e_wtw, acc["s_z"])
+            )
+            lam_stats = jnp.stack([-0.5 * resid_tot, 0.5 * d * acc["n"]])
+            prec = self.prec.natural_update(lam_stats, lrate)
+        else:
+            prec = self.prec
         # -- μ -- (exact minimizer given q(z), q(W))
-        mean = (acc["sum_x"] - w_mean @ acc["sum_m"]) / acc["n"]
-        if lrate != 1.0:
-            mean = self.mean + lrate * (mean - self.mean)
+        if "mean" in sel:
+            mean = (acc["sum_x"] - w_mean @ acc["sum_m"]) / acc["n"]
+            if lrate != 1.0:
+                mean = self.mean + lrate * (mean - self.mean)
+        else:
+            mean = self.mean
         return self.replace(w_mean=w_mean, w_cov=w_cov, mean=mean, prec=prec)
 
     # -- convenience ---------------------------------------------------
+    @_f32_matmuls
     def transform(self, data: jnp.ndarray) -> jnp.ndarray:
         """Posterior latent means E[z|x], (N, Q)."""
         _, cache = self.infer(self.sufficient_statistics(data))

@@ -203,6 +203,19 @@ class VAE(Model):
     def vb_update(self, acc: Dict[str, Any], lrate: float = 1.0) -> "VAE":
         return self.replace(latent_model=self.latent_model.vb_update(acc, lrate))
 
+    def mean_field_factorization(self):
+        """The conjugate side's groups, addressed through ``latent_model``.
+
+        The nnet parameters are the gradient side of the hybrid update
+        (``make_vae_train_step``) and are not part of any conjugate group;
+        the latent model's own factorization is exposed with dotted paths
+        so ``vb_update_partial`` grafts the right sub-fields.
+        """
+        return [
+            [f"latent_model.{name}" for name in group]
+            for group in self.latent_model.mean_field_factorization()
+        ]
+
     # ------------------------------------------------------------------
     def posteriors(self, x: jnp.ndarray):
         """q(z|x) head outputs (mean, logvar)."""
@@ -251,21 +264,30 @@ class SequenceVAE(VAE):
         acc = jax.tree.map(lambda a: scale * a / s, acc)
         return elbo, acc
 
-    def infer(self, stats: jnp.ndarray):
-        """Per-sequence Monte-Carlo ELBO contributions (fixed PRNG key)."""
+    def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        """Per-sequence Monte-Carlo ELBO contributions (fixed PRNG key).
+
+        ``mask`` (B, T) restricts the entropy/reconstruction sums and the
+        latent-model smoothing to true frames — same convention as
+        :meth:`elbo_and_stats` (ragged batches would otherwise count
+        padding frames).
+        """
         x = stats
         key = jax.random.PRNGKey(0)
         b, t = x.shape[0], x.shape[1]
+        if mask is None:
+            mask = jnp.ones((b, t), x.dtype)
         q = self.encoder_def.apply(self.nnet_params["encoder"], x)
         z, entropy = self._sample_posterior(q, key)
-        entropy = entropy.sum(-1)
+        entropy = (entropy * mask).sum(-1)
         s = self.nsamples
         flat_z = z.reshape(s * b, t, self.latent_dim)
+        mask_rep = jnp.tile(mask, (s, 1))
         lstats = self.latent_model.sufficient_statistics(flat_z)
-        log_z, _ = self.latent_model.infer(lstats)
+        log_z, _ = self.latent_model.infer(lstats, mask=mask_rep)
         prior_llh = log_z.reshape(s, b).mean(0)
         x_rep = jnp.repeat(x[None], s, 0).reshape(s * b, t, x.shape[-1])
-        rec = self._reconstruction(flat_z, x_rep).sum(-1)
+        rec = (self._reconstruction(flat_z, x_rep) * mask_rep).sum(-1)
         rec = rec.reshape(s, b).mean(0)
         return rec + prior_llh + entropy, {"posterior": q}
 

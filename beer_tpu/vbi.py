@@ -69,20 +69,48 @@ def vb_step(
     return elbo, model.vb_update(acc, lrate)
 
 
+def _graft(old, new, paths):
+    """Return ``new`` restricted to ``paths``; everything else from ``old``.
+
+    Paths are dataclass field names, optionally dotted for sub-models
+    (``"latent_model.categorical"``), so composite models can expose their
+    children's mean-field groups.
+    """
+    take, nested = set(), {}
+    for p in paths:
+        if "." in p:
+            head, rest = p.split(".", 1)
+            nested.setdefault(head, []).append(rest)
+        else:
+            take.add(p)
+    repl = {}
+    for name in old.__dataclass_fields__:
+        if name in take:
+            continue  # keep the updated value
+        if name in nested:
+            repl[name] = _graft(getattr(old, name), getattr(new, name), nested[name])
+        else:
+            repl[name] = getattr(old, name)
+    return new.replace(**repl) if repl else new
+
+
 def vb_update_partial(model, acc, group, lrate: float = 1.0):
     """Apply the conjugate update to the fields in ``group`` only.
 
     Generic over any model: runs the full update, then reverts fields
     outside the group — the building block for mean-field coordinate
-    ascent over ``model.mean_field_factorization()`` groups.
+    ascent over ``model.mean_field_factorization()`` groups.  Models whose
+    ``vb_update`` is itself sequential coordinate ascent (PPCA/PLDA) take
+    a ``group=`` kwarg so the non-group fields are *held at their current
+    values inside* the update, making each group step an exact coordinate
+    update; for everything else the post-hoc graft is equivalent because
+    each parameter's conjugate update depends only on the statistics.
     """
-    updated = model.vb_update(acc, lrate)
-    reverted = {
-        name: getattr(model, name)
-        for name in model.__dataclass_fields__
-        if name not in group
-    }
-    return updated.replace(**reverted) if reverted else updated
+    try:
+        updated = model.vb_update(acc, lrate, group=group)
+    except TypeError:
+        updated = model.vb_update(acc, lrate)
+    return _graft(model, updated, group)
 
 
 def vb_step_coordinate(

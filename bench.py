@@ -399,6 +399,10 @@ def main():
         "value": round(value, 1),
         "unit": "frames/s",
         "vs_baseline": round(value / baseline, 2),
+        # the upstream repo publishes no numbers and the reference mount is
+        # empty, so the denominator is this file's re-implementation of the
+        # reference algorithm (sequential per-utterance loop) in CPU torch
+        "baseline": "reimplemented-torch-cpu",
         "configs": configs,
     }
     print(json.dumps(result))

@@ -302,3 +302,19 @@ def test_gsm_nnet_trunk(rng):
     gsm, elbos = _train(gsm, stats, counts, iters=300)
     assert np.isfinite(elbos).all()
     assert np.mean(elbos[-20:]) > np.mean(elbos[:20])
+
+
+def test_expected_llh_array_form_requires_counts(rng):
+    """Array-form unit_stats without unit_counts must raise, not crash
+    with an AttributeError (VERDICT r2 weak #7)."""
+    import pytest
+
+    stats, counts, _, _ = make_unit_stats(rng, n_units=3, d=4, frames_per_unit=10)
+    gsm = GSM.create(n_units=3, embed_dim=2, obs_dim=4, key=jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="unit_counts"):
+        gsm.expected_llh_of_stats(jnp.asarray(stats))
+    # passing the counts works
+    ll = gsm.expected_llh_of_stats(
+        jnp.asarray(stats), jnp.asarray(counts), key=jax.random.PRNGKey(1)
+    )
+    assert np.isfinite(float(ll))

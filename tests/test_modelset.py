@@ -127,3 +127,16 @@ def test_coordinate_ascent_phone_loop(rng):
         elbos.append(float(elbo))
     assert np.isfinite(elbos).all()
     assert np.all(np.diff(elbos) > -1e-3), f"not monotone: {elbos}"
+
+
+def test_joint_modelset_rejects_layout_mismatch(rng):
+    """A full-cov + diag-cov mix scores the wrong stats layout silently —
+    create() must reject it up front (VERDICT r2 weak #5)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="layout"):
+        JointModelSet.create([_nset(2, "diagonal"), _nset(2, "full")])
+    # same layout still composes
+    js = JointModelSet.create([_nset(2, "diagonal", key=0),
+                               _nset(3, "diagonal", key=1)])
+    assert len(js) == 5

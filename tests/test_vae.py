@@ -291,3 +291,69 @@ def test_vae_infer_honest(rng):
     assert np.isfinite(np.asarray(llh)).all()
     # reconstruction of untrained nets must make this far below 0
     assert float(llh.mean()) < 0.0
+
+
+# ----------------------------------------------------------------------
+# Mean-field groups through the latent model; mask-aware SequenceVAE.infer
+# ----------------------------------------------------------------------
+def test_vae_mean_field_groups(rng):
+    """VAE exposes the latent model's groups via dotted paths, and a
+    group update grafts only those sub-fields (VERDICT r2 weak #8)."""
+    from beer_tpu.vbi import vb_update_partial
+
+    data = make_data(rng, n=64)
+    x = jnp.asarray(data)
+    vae = VAE.create(
+        obs_dim=data.shape[1], latent_dim=2,
+        latent_model=make_latent_prior("gmm"),
+        hidden=(16,), key=jax.random.PRNGKey(2),
+    )
+    groups = vae.mean_field_factorization()
+    assert groups == [["latent_model.categorical"], ["latent_model.modelset"]]
+
+    key = jax.random.PRNGKey(7)
+    elbo0, acc = vae.elbo_and_stats(x, key)
+    up = vb_update_partial(vae, acc, groups[0])
+    # weights updated, emissions and nnets untouched
+    assert not np.allclose(
+        np.asarray(up.latent_model.categorical.weights.posterior),
+        np.asarray(vae.latent_model.categorical.weights.posterior),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(up.latent_model.modelset.means_precisions.posterior),
+        np.asarray(vae.latent_model.modelset.means_precisions.posterior),
+    )
+    chex_equal = jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), up.nnet_params, vae.nnet_params
+    ))
+    assert chex_equal
+    # alternating both conjugate groups with the same key raises the ELBO
+    up2 = vb_update_partial(up, acc, groups[1])
+    elbo1, _ = up2.elbo_and_stats(x, key)
+    assert float(elbo1) >= float(elbo0) - 1e-6
+
+
+def test_sequence_svae_infer_mask_aware(rng):
+    """Garbage in padded frames must not change masked infer outputs."""
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.models.vae import SequenceVAE
+
+    x_np, mask_np, _ = make_seq_data(rng, b=4, t=16)
+    # make the mask genuinely ragged
+    mask_np[:, 10:] = 0.0
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(2), jnp.eye(2), size=4, cov_type="diagonal",
+        noise_std=1.0, key=jax.random.PRNGKey(0),
+    )
+    svae = SequenceVAE.create(
+        obs_dim=x_np.shape[-1], latent_dim=2,
+        latent_model=PhoneLoop.create(2, 2, nset),
+        hidden=(16,), key=jax.random.PRNGKey(1),
+    )
+    x = jnp.asarray(x_np)
+    mask = jnp.asarray(mask_np)
+    llh, _ = svae.infer(x, mask=mask)
+    x_garbage = jnp.where(mask[..., None] > 0, x, 1e3)
+    llh_g, _ = svae.infer(x_garbage, mask=mask)
+    np.testing.assert_allclose(np.asarray(llh), np.asarray(llh_g), rtol=1e-6)
+    assert np.isfinite(np.asarray(llh)).all()
