@@ -54,6 +54,14 @@ def setup(parser):
         help="supervised training: 'uttid ph1 ph2 ...' per line; the input "
         "model must be mkphones emissions (BASELINE config 3)",
     )
+    parser.add_argument(
+        "--max-padded-gb", type=float, default=4.0,
+        help="if padding the whole corpus into one (B, T_max, D) array "
+        "would exceed this many GB, automatically switch to exact "
+        "streamed full-batch VB (bucketed minibatches + statistics "
+        "accumulation, one conjugate update per epoch) instead of "
+        "materializing the monolith — scalable by default",
+    )
 
 
 def pad_archive(path_or_npz):
@@ -102,12 +110,33 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
             bio.convert_npz(args.feats, bar_path)
         archive = bio.Archive(bar_path)
     n_utts = len(archive)
-    step = jax.jit(
-        lambda m, x, msk, ds: vb_step(
-            m, x, datasize=ds, lrate=args.lrate, mask=msk
+    # data parallel composes with minibatches: the batch rows shard over
+    # the mesh, statistics psum over ICI, every device applies the same
+    # update.  Batch size is rounded up so shards stay equal.
+    n_dev = len(jax.devices())
+    use_dp = n_dev > 1 and not args.single_device
+    if use_dp:
+        from beer_tpu import parallel
+
+        args.batch_size = -(-args.batch_size // n_dev) * n_dev
+        mesh = parallel.make_mesh()
+        dp_step = parallel.make_vb_minibatch_step(mesh, lrate=args.lrate)
+        dp_estep = parallel.make_vb_estep(mesh)
+        print(f"minibatch data-parallel over {n_dev} devices")
+
+        def step(m, x, msk, ds):
+            return dp_step(m, x, msk, ds / x.shape[0])
+
+        def estep(m, x, msk):
+            return dp_estep(m, x, msk)
+    else:
+        step = jax.jit(
+            lambda m, x, msk, ds: vb_step(
+                m, x, datasize=ds, lrate=args.lrate, mask=msk
+            )
         )
-    )
-    if args.nan_guard:
+        estep = jax.jit(lambda m, x, msk: elbo_and_stats(m, x, mask=msk))
+    if args.nan_guard and not use_dp:
         from beer_tpu.utils.debug import nan_guard
 
         guarded = jax.jit(nan_guard(
@@ -120,7 +149,6 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
             err, out = guarded(m, x, msk, ds)
             err.throw()
             return out
-    estep = jax.jit(lambda m, x, msk: elbo_and_stats(m, x, mask=msk))
     loader = bio.BatchLoader(archive, args.batch_size, seed=0,
                              buckets=args.buckets)
     logger = MetricsLogger(outdir / "log", stdout=False)
@@ -192,6 +220,33 @@ def main(args):
     else:
         model = load_model(args.model)
 
+    if not args.transcriptions:
+        if args.batch_size:
+            _train_minibatch(args, model, outdir, start_epoch=start_epoch)
+            return
+        # Scalable by default: if the padded corpus monolith would blow
+        # past --max-padded-gb, stream it instead — bucketed minibatches
+        # with statistics accumulated over the epoch and one conjugate
+        # update (identical math to full batch, bounded host memory).
+        from beer_tpu import io as bio
+
+        n, t_max, d, _ = bio.archive_geometry(args.feats)
+        padded_gb = n * t_max * d * 4 / 2**30
+        if padded_gb > args.max_padded_gb:
+            bytes_per_utt = max(t_max * d * 4, 1)
+            budget = args.max_padded_gb * 2**30 / 4
+            args.batch_size = int(min(max(budget / bytes_per_utt, 1), 1024))
+            args.accumulate_batches = True
+            args.buckets = max(args.buckets, 8)
+            print(
+                f"corpus pads to {padded_gb:.1f} GB > "
+                f"--max-padded-gb {args.max_padded_gb:g}; streaming exact "
+                f"full-batch VB (batch-size {args.batch_size}, "
+                f"{args.buckets} buckets, accumulate-batches)"
+            )
+            _train_minibatch(args, model, outdir, start_epoch=start_epoch)
+            return
+
     keys, data, mask = pad_archive(args.feats)
 
     if args.transcriptions:
@@ -256,10 +311,6 @@ def main(args):
         shutil.copy(args.model + ".phones.json",
                     outdir / "final.mdl.phones.json")
         print(f"wrote {outdir / 'final.mdl'}")
-        return
-
-    if args.batch_size:
-        _train_minibatch(args, model, outdir, start_epoch=start_epoch)
         return
 
     n_dev = len(jax.devices())

@@ -68,6 +68,38 @@ def convert_npz(npz_path, archive_path) -> None:
     write_archive(archive_path, {k: data[k] for k in data.files})
 
 
+def archive_geometry(path):
+    """(n_utts, t_max, dim, total_frames) without loading feature data.
+
+    ``.bar`` archives read only the index; ``.npz`` reads only each zip
+    member's .npy header (shape/dtype), never the data — so deciding
+    whether a corpus fits as one padded array costs O(n_utts) metadata
+    reads, not a corpus load.
+    """
+    path = str(path)
+    if path.endswith(".bar"):
+        archive = Archive(path)
+        lengths = np.asarray(archive.lengths)
+        dim = archive.dim
+        archive.close()
+    else:
+        import zipfile
+
+        lengths = []
+        dim = 0
+        with zipfile.ZipFile(path) as zf:
+            for name in zf.namelist():
+                with zf.open(name) as fh:
+                    version = np.lib.format.read_magic(fh)
+                    shape, _, _ = np.lib.format._read_array_header(fh, version)
+                lengths.append(shape[0])
+                dim = shape[-1] if len(shape) > 1 else 1
+        lengths = np.asarray(lengths)
+    if len(lengths) == 0:
+        return 0, 0, dim, 0
+    return len(lengths), int(lengths.max()), dim, int(lengths.sum())
+
+
 # ----------------------------------------------------------------------
 # Native library (compiled on demand, cached)
 # ----------------------------------------------------------------------

@@ -42,14 +42,23 @@ class CompiledGraph:
         """(..., n_pdfs) per-pdf log-likelihoods → (..., S) per-state.
 
         Supports per-utterance graphs: ``pdf_ids`` (B, S) with
-        ``per_pdf_llh`` (B, T, n_pdfs).
+        ``per_pdf_llh`` (B, T, n_pdfs).  That case is a selection
+        *matmul*: a strided gather along the minor (lane) axis of a
+        (B, T, P) array is a per-element op on TPU, orders of magnitude
+        slower than the equivalent batched MXU contraction.  HIGHEST
+        precision keeps the selection bit-exact (one-hot rows pick
+        single values; a default-precision pass bf16-rounds the llh).
         """
         if self.pdf_ids.ndim == 2:
-            b, t = per_pdf_llh.shape[0], per_pdf_llh.shape[1]
-            idx = jnp.broadcast_to(
-                self.pdf_ids[:, None, :], (b, t, self.pdf_ids.shape[-1])
+            import jax
+
+            one_hot = jax.nn.one_hot(
+                self.pdf_ids, self.n_pdfs, dtype=per_pdf_llh.dtype
+            )                                            # (B, S, P)
+            return jnp.einsum(
+                "btp,bsp->bts", per_pdf_llh, one_hot,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            return jnp.take_along_axis(per_pdf_llh, idx, axis=-1)
         return per_pdf_llh[..., self.pdf_ids]
 
 
@@ -229,26 +238,37 @@ def transcription_graphs(
     states_per_phone: int,
     self_loop: float = 0.5,
     dtype=jnp.float32,
+    shared: bool = True,
 ) -> CompiledGraph:
     """Per-utterance forced-alignment graphs from phone transcriptions.
 
     Reference parity: the supervised HMM-GMM training path (BASELINE
     config 3 / historical ``recipes/timit``): each utterance's graph is
     the left-to-right concatenation of its transcription's phone HMMs.
+    All utterances share the pdf space (phone p owns pdfs [p·P, (p+1)·P)).
 
-    All utterances share the pdf space (phone p owns pdfs
-    [p·P, (p+1)·P)); the returned :class:`CompiledGraph` is *batched* —
-    every field has a leading (B,) axis, states padded to the longest
-    transcription (padding states are unreachable) — and plugs directly
-    into the batched scans.  Viterbi on these graphs is forced alignment.
+    ``shared=True`` (default, the fast path): every transcription's
+    transition structure is the *same* left-to-right chain — only the
+    state→pdf map and the final state differ — so one shared (S, S)
+    matrix padded to the longest transcription serves the whole batch,
+    with per-utterance ``log_final`` (B, S) and ``pdf_ids`` (B, S).
+    This is **exact**: a shorter utterance's advance arc out of its last
+    real state leads only into padding states that (a) never feed back
+    into real states (left-to-right) and (b) carry zero final weight, so
+    α over real states, β (padding β ≡ 0), log Z, γ and ξ are unchanged
+    — while the E-step dispatches to the fused shared-graph kernels
+    instead of the per-utterance ``lax.scan`` einsum fallback.
+
+    ``shared=False`` materializes the per-utterance (B, S, S) matrices
+    (the general path; kept for graphs whose *structure* truly differs
+    and as the equivalence-test oracle).  Viterbi on either form is
+    forced alignment.
     """
     import numpy as np
 
     p = states_per_phone
     b = len(transcriptions)
     s_max = max(len(t) for t in transcriptions) * p
-    trans = np.full((b, s_max, s_max), LOG_ZERO)
-    init = np.full((b, s_max), LOG_ZERO)
     final = np.full((b, s_max), LOG_ZERO)
     pdf_ids = np.zeros((b, s_max), np.int32)
     log_sl = math.log(self_loop)
@@ -256,12 +276,26 @@ def transcription_graphs(
     for i, phones in enumerate(transcriptions):
         n_states = len(phones) * p
         for j in range(n_states):
-            trans[i, j, j] = log_sl
-            if j + 1 < n_states:
-                trans[i, j, j + 1] = log_adv
             pdf_ids[i, j] = phones[j // p] * p + (j % p)
-        init[i, 0] = 0.0
         final[i, n_states - 1] = log_adv
+    if shared:
+        trans = np.full((s_max, s_max), LOG_ZERO)
+        for j in range(s_max):
+            trans[j, j] = log_sl
+            if j + 1 < s_max:
+                trans[j, j + 1] = log_adv
+        init = np.full(s_max, LOG_ZERO)
+        init[0] = 0.0
+    else:
+        trans = np.full((b, s_max, s_max), LOG_ZERO)
+        init = np.full((b, s_max), LOG_ZERO)
+        for i, phones in enumerate(transcriptions):
+            n_states = len(phones) * p
+            for j in range(n_states):
+                trans[i, j, j] = log_sl
+                if j + 1 < n_states:
+                    trans[i, j, j + 1] = log_adv
+            init[i, 0] = 0.0
     return CompiledGraph(
         log_init=jnp.asarray(init, dtype),
         log_final=jnp.asarray(final, dtype),

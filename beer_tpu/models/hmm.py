@@ -138,7 +138,9 @@ class HMM(DiscreteLatentModel):
         # state → pdf posteriors (states sharing a pdf sum together)
         one_hot = jax.nn.one_hot(self.graph.pdf_ids, self.graph.n_pdfs, dtype=post.dtype)
         if one_hot.ndim == 3:  # per-utterance graphs: (B, S, n_pdfs)
-            pdf_post = jnp.einsum("bts,bsp->btp", post, one_hot)
+            # HIGHEST: a default-precision pass bf16-rounds the posteriors
+            pdf_post = jnp.einsum("bts,bsp->btp", post, one_hot,
+                                  precision=jax.lax.Precision.HIGHEST)
         else:
             pdf_post = post @ one_hot  # (B, T, n_pdfs)
         flat_resps = pdf_post.reshape(-1, self.graph.n_pdfs)

@@ -17,6 +17,8 @@ from beer_tpu.parallel.data_parallel import (
     data_parallel_elbo_and_stats,
     make_mesh,
     make_supervised_vb_train_step,
+    make_vb_estep,
+    make_vb_minibatch_step,
     make_vb_train_step,
     shard_batch,
 )
@@ -24,6 +26,8 @@ from beer_tpu.parallel.data_parallel import (
 __all__ = [
     "make_mesh",
     "make_vb_train_step",
+    "make_vb_minibatch_step",
+    "make_vb_estep",
     "make_supervised_vb_train_step",
     "data_parallel_elbo_and_stats",
     "shard_batch",

@@ -105,6 +105,65 @@ def make_vb_train_step(
     return step
 
 
+def make_vb_minibatch_step(
+    mesh: Mesh,
+    axis_name: str = "data",
+    lrate: float = 1.0,
+):
+    """Data-parallel *stochastic* VB step with a traced datasize scale.
+
+    Like :func:`make_vb_train_step`, but the ``datasize / n_valid``
+    statistics scale enters as a traced scalar so ragged tail batches
+    (fewer valid utterances than the padded batch size) do not
+    recompile.  Returns ``step(model, x, mask, datascale) ->
+    (elbo, new_model)``; pass ``datascale = 1.0`` and ``lrate = 1.0``
+    for exact full-batch semantics on a single batch.
+    """
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def step(model, x, mask, datascale):
+        stats = model.sufficient_statistics(x)
+        llh, cache = model.infer(stats, mask=mask)
+        seq_valid = (mask.sum(-1) > 0).astype(llh.dtype)
+        llh_sum = jax.lax.psum((llh * seq_valid).sum(), axis_name)
+        acc = jax.lax.psum(model.accumulate(stats, cache), axis_name)
+        elbo = datascale * llh_sum - model.kl_div_posterior_prior()
+        acc = jax.tree.map(lambda s: datascale * s, acc)
+        return elbo, model.vb_update(acc, lrate)
+
+    return step
+
+
+def make_vb_estep(mesh: Mesh, axis_name: str = "data"):
+    """Data-parallel E-step only: ``estep(model, x, mask) -> (elbo, acc)``.
+
+    The psum'd statistics come back replicated, so the caller can
+    accumulate them across minibatches on one device and apply a single
+    conjugate update per epoch (exact full-batch VB streamed through
+    minibatches — the ``--accumulate-batches`` path).
+    """
+
+    @jax.jit
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def estep(model, x, mask):
+        return data_parallel_elbo_and_stats(model, x, mask, axis_name)
+
+    return estep
+
+
 def make_supervised_vb_train_step(
     mesh: Mesh,
     axis_name: str = "data",
@@ -112,30 +171,57 @@ def make_supervised_vb_train_step(
 ):
     """Data-parallel supervised training with per-utterance graphs.
 
-    The transcription graphs (batched CompiledGraph arrays) shard with
-    the batch while the emission parameters stay replicated; the psum of
-    the statistics pytree is unchanged.  Usage::
+    The per-utterance graph fields shard with the batch while the
+    emission parameters stay replicated; the psum of the statistics
+    pytree is unchanged.  Usage::
 
         step = make_supervised_vb_train_step(mesh)
         elbo, emissions = step(emissions, graphs, x, mask)
 
-    where ``graphs = transcription_graphs(...)`` with a leading batch
-    axis divisible by the mesh size.
+    where ``graphs = transcription_graphs(...)`` with per-utterance
+    leading axes divisible by the mesh size.  Both graph forms work:
+    the default *shared* form (one (S, S) transition matrix + (S,) init
+    replicated; per-utterance ``log_final``/``pdf_ids`` sharded) and the
+    fully-batched ``shared=False`` form (every field sharded).  The
+    per-field sharding is derived from the graph's array ranks on first
+    call (one compiled step per graph form).
     """
+    import jax.tree_util as jtu
+
     from beer_tpu.models.hmm import HMM
 
-    @jax.jit
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    def step(emissions, graphs, x, mask):
-        model = HMM(graph=graphs, modelset=emissions)
-        elbo, acc = data_parallel_elbo_and_stats(model, x, mask, axis_name)
-        new_model = model.vb_update(acc, lrate)
-        return elbo, new_model.modelset
+    # graph field → rank in the *batched* (per-utterance) form
+    batched_rank = {"log_init": 2, "log_final": 2, "log_trans": 3, "pdf_ids": 2}
+    cache = {}
 
-    return step
+    def build(graph_spec):
+        @jax.jit
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), graph_spec, P(axis_name), P(axis_name)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def step(emissions, graphs, x, mask):
+            model = HMM(graph=graphs, modelset=emissions)
+            elbo, acc = data_parallel_elbo_and_stats(model, x, mask, axis_name)
+            new_model = model.vb_update(acc, lrate)
+            return elbo, new_model.modelset
+
+        return step
+
+    def call(emissions, graphs, x, mask):
+        leaves, treedef = jtu.tree_flatten_with_path(graphs)
+        specs = [
+            P(axis_name)
+            if leaf.ndim == batched_rank.get(path[-1].name, -1)
+            else P()
+            for path, leaf in leaves
+        ]
+        key = (treedef, tuple(specs))
+        if key not in cache:
+            cache[key] = build(jtu.tree_unflatten(treedef, specs))
+        return cache[key](emissions, graphs, x, mask)
+
+    return call

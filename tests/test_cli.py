@@ -286,3 +286,28 @@ def test_shmm_multilingual_cli(workdir, tmp_path):
     assert gsm.learn_transitions
     loop = load_model(exp / "final.mdl")
     assert loop.log_exit is not None  # transition write-back happened
+
+
+def test_auto_streaming_when_monolith_too_big(workdir, tmp_path):
+    """A tiny --max-padded-gb must flip the default path to streamed
+    exact full-batch VB and still match the monolith result."""
+    root = workdir
+    full = tmp_path / "full"
+    auto = tmp_path / "auto"
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(full), "--epochs", "3", "--single-device",
+    ]) == 0
+    assert cli([
+        "hmm", "train", str(root / "init.mdl"), str(root / "feats.npz"),
+        str(auto), "--epochs", "3", "--single-device",
+        "--max-padded-gb", "1e-6",
+    ]) == 0
+    from beer_tpu.utils import load_model
+    import jax
+
+    m_full = load_model(full / "final.mdl")
+    m_auto = load_model(auto / "final.mdl")
+    for a, b in zip(jax.tree.leaves(m_full), jax.tree.leaves(m_auto)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)

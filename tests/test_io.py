@@ -101,3 +101,14 @@ def test_batch_loader_buckets(archive_path):
     assert max(shapes) <= -(-int(lengths.max()) // 8) * 8
     # short buckets pad less than the corpus max
     assert min(shapes) < int(lengths.max())
+
+
+def test_archive_geometry(archive_path, tmp_path):
+    """Geometry (n, t_max, dim, total) from metadata only — bar and npz."""
+    path, utts = archive_path
+    lengths = [v.shape[0] for v in utts.values()]
+    want = (len(utts), max(lengths), 13, sum(lengths))
+    assert bio.archive_geometry(path) == want
+    npz = tmp_path / "feats.npz"
+    np.savez(npz, **utts)
+    assert bio.archive_geometry(npz) == want

@@ -168,3 +168,64 @@ def test_supervised_dp_matches_single_device(rng):
         )
     for a, b in zip(jax.tree.leaves(em_dp), jax.tree.leaves(hmm_single.modelset)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
+
+
+def test_minibatch_dp_matches_single_device(rng):
+    """make_vb_minibatch_step (traced datascale) == single-device
+    stochastic vb_step on the same minibatch, over 8 virtual devices."""
+    import beer_tpu
+    from beer_tpu import parallel
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.vbi import vb_step
+
+    b, t, d = 16, 20, 3
+    data = rng.normal(size=(b, t, d)).astype(np.float32)
+    lengths = rng.integers(t // 2, t + 1, size=b)
+    mask = (np.arange(t)[None] < lengths[:, None]).astype(np.float32)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(d), jnp.ones(d), size=6, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(0),
+    )
+    loop = PhoneLoop.create(3, 2, nset)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    datasize, n_valid = 64, b  # pretend this is one minibatch of a corpus
+
+    elbo_ref, model_ref = jax.jit(
+        lambda mo, xx, mm: vb_step(mo, xx, datasize=datasize, mask=mm)
+    )(loop, x, m)
+
+    mesh = parallel.make_mesh(8)
+    step = parallel.make_vb_minibatch_step(mesh)
+    elbo_dp, model_dp = step(loop, x, m, jnp.float32(datasize / n_valid))
+    np.testing.assert_allclose(float(elbo_ref), float(elbo_dp), rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(model_ref), jax.tree.leaves(model_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
+                                   atol=1e-6)
+
+
+def test_dp_estep_matches_elbo_and_stats(rng):
+    """make_vb_estep == elbo_and_stats on replicated model."""
+    import beer_tpu
+    from beer_tpu import parallel
+    from beer_tpu.vbi import elbo_and_stats
+
+    n, d, k = 64, 3, 4
+    data = rng.normal(size=(n, 8, d)).astype(np.float32)
+    mask = np.ones((n, 8), np.float32)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(d), jnp.ones(d), size=k, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(1),
+    )
+    from beer_tpu.models.graph import ergodic
+    from beer_tpu.models.hmm import HMM
+
+    hmm = HMM.create(ergodic(k), nset)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    elbo_ref, acc_ref = jax.jit(
+        lambda mo, xx, mm: elbo_and_stats(mo, xx, mask=mm))(hmm, x, m)
+    estep = parallel.make_vb_estep(parallel.make_mesh(8))
+    elbo_dp, acc_dp = estep(hmm, x, m)
+    np.testing.assert_allclose(float(elbo_ref), float(elbo_dp), rtol=1e-5)
+    for a, c in zip(jax.tree.leaves(acc_ref), jax.tree.leaves(acc_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4,
+                                   atol=1e-5)

@@ -160,3 +160,41 @@ def test_bigram_lm_decoding(trained):
         errs += edit_distance(hyp, ref)
         total += len(ref)
     assert errs / total < 0.1, f"bigram-LM PER too high: {errs/total:.3f}"
+
+
+def test_shared_vs_batched_transcription_graphs(rng):
+    """The shared-matrix fast path (one (S, S) left-to-right chain +
+    per-utterance final/pdf_ids) must agree with the per-utterance
+    (B, S, S) oracle on ragged transcription lengths: log Z, state
+    posteriors, accumulated stats, and Viterbi alignments."""
+    transcriptions, data, mask = make_corpus(rng, n_utts=8, max_phones=5)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+    emissions = make_emissions(data, mask)
+
+    out = {}
+    for shared in (True, False):
+        graphs = graph_mod.transcription_graphs(
+            transcriptions, N_PHONES, STATES, dtype=jnp.float64, shared=shared
+        )
+        assert graphs.log_trans.ndim == (2 if shared else 3)
+        hmm = HMM.create(graphs, emissions)
+        stats = hmm.sufficient_statistics(x)
+        log_z, cache = hmm.infer(stats, mask=m)
+        acc = hmm.accumulate(stats, cache)
+        paths, scores = hmm.decode(x, m)
+        out[shared] = (log_z, cache["posteriors"], acc, paths, scores)
+
+    log_z_s, post_s, acc_s, paths_s, scores_s = out[True]
+    log_z_b, post_b, acc_b, paths_b, scores_b = out[False]
+    np.testing.assert_allclose(np.asarray(log_z_s), np.asarray(log_z_b),
+                               rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(post_s), np.asarray(post_b),
+                               atol=1e-10)
+    for a, b in zip(jax.tree.leaves(acc_s), jax.tree.leaves(acc_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+    # Viterbi: identical scores; identical paths on valid frames
+    np.testing.assert_allclose(np.asarray(scores_s), np.asarray(scores_b),
+                               rtol=1e-10, atol=1e-10)
+    valid = np.asarray(mask) > 0
+    np.testing.assert_array_equal(np.asarray(paths_s)[valid],
+                                  np.asarray(paths_b)[valid])
