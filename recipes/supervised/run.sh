@@ -5,6 +5,11 @@
 # features → mkphones → supervised VB training on transcription graphs →
 # phone-loop decoding → PER scoring.  Stage-gated and restartable.
 #
+# Data comes from the shared adversarial generator (recipes/lib/
+# aud_synth.py) with a HELD-OUT eval split; the headline PER is on eval
+# utterances never touched by training (train-set PER printed for
+# reference).
+#
 # Usage: ./run.sh [workdir]
 
 set -euo pipefail
@@ -16,42 +21,45 @@ beer() { python -m beer_tpu.cli "$@"; }
 
 mkdir -p "$work"
 
-if [ ! -f "$work/wav.scp" ]; then
-  stage_mark 0 "synthetic labeled data preparation"
-  python ../aud/local/make_synthetic_data.py "$work/audio" "$work/wav.scp" \
-      --ref-trans "$work/ref.ali"
-  # collapse per-frame reference labels into phone transcriptions
-  python local/ali_to_trans.py "$work/ref.ali" "$work/train.trans"
+if [ ! -f "$work/wav_sup.scp" ]; then
+  stage_mark 0 "labeled data (+ eval split)"
+  python ../aud/local/make_synthetic_data.py "$work" --name sup \
+      --n-utts 40 --n-utts-eval 40 --write-trans
 fi
 
-if [ ! -f "$work/manifest.json" ]; then
-  stage_mark 1 "dataset manifest"
-  beer dataset create "$work/wav.scp" "$work/manifest.json"
-fi
-
-if [ ! -f "$work/feats.bar" ]; then
-  stage_mark 2 "feature extraction (native archive)"
-  beer features extract ../aud/conf/features.yml "$work/manifest.json" \
-      "$work/feats.bar"
-fi
+for split in sup sup_eval; do
+  if [ ! -f "$work/feats_$split.bar" ]; then
+    stage_mark 1 "features ($split, native archive)"
+    beer dataset create "$work/wav_$split.scp" "$work/manifest_$split.json"
+    beer features extract ../aud/conf/features.yml \
+        "$work/manifest_$split.json" "$work/feats_$split.bar"
+  fi
+done
 
 if [ ! -f "$work/emissions.mdl" ]; then
-  stage_mark 3 "phone HMM-GMM initialization"
-  beer hmm mkphones conf/phones.yml "$work/feats.bar" "$work/train.trans" \
-      "$work/emissions.mdl"
+  stage_mark 2 "phone HMM-GMM initialization"
+  beer hmm mkphones conf/phones.yml "$work/feats_sup.bar" \
+      "$work/sup.trans" "$work/emissions.mdl"
 fi
 
 if [ ! -f "$work/train/final.mdl" ]; then
-  stage_mark 4 "supervised VB training on transcription graphs"
-  beer hmm train "$work/emissions.mdl" "$work/feats.bar" "$work/train" \
-      --epochs 20 --transcriptions "$work/train.trans"
+  stage_mark 3 "supervised VB training on transcription graphs"
+  beer hmm train "$work/emissions.mdl" "$work/feats_sup.bar" "$work/train" \
+      --epochs 20 --transcriptions "$work/sup.trans"
 fi
 
-if [ ! -f "$work/hyp.trans" ]; then
-  stage_mark 5 "phone-loop recognition"
-  beer hmm decode "$work/train/final.mdl" "$work/feats.bar" "$work/hyp.trans" \
-      --phone-lm --lm-transcriptions "$work/train.trans"
+if [ ! -f "$work/hyp_eval.trans" ]; then
+  stage_mark 4 "phone-loop recognition (train + held-out eval)"
+  beer hmm decode "$work/train/final.mdl" "$work/feats_sup.bar" \
+      "$work/hyp_train.trans" --phone-lm --lm-transcriptions "$work/sup.trans"
+  beer hmm decode "$work/train/final.mdl" "$work/feats_sup_eval.bar" \
+      "$work/hyp_eval.trans" --phone-lm --lm-transcriptions "$work/sup.trans"
 fi
 
-stage_mark 6 "PER scoring"
-python local/score_per.py "$work/train.trans" "$work/hyp.trans" | tee "$work/score.txt"
+stage_mark 5 "PER scoring"
+echo "-- train set (fit check):"
+python local/score_per.py "$work/sup.trans" "$work/hyp_train.trans" \
+    | tee "$work/score_train.txt"
+echo "-- held-out eval set (headline):"
+python local/score_per.py "$work/sup_eval.trans" "$work/hyp_eval.trans" \
+    | tee "$work/score.txt"
