@@ -28,6 +28,7 @@ def main(args):
     prior_strength = float(conf.get("prior_strength", 1.0))
     noise_std = float(conf.get("noise_std", 1.0))
     seed = int(conf.get("seed", 1))
+    self_loop = float(conf.get("self_loop", 0.5))
 
     if args.feats.endswith(".bar"):
         from beer_tpu import io as bio
@@ -43,13 +44,34 @@ def main(args):
     else:
         cov = jnp.asarray(np.diag(flat.var(0)))
 
-    # init unit-state means from random data frames (reference behavior):
-    # every state starts inside the data manifold, so no single unit can
-    # win all responsibilities in the first lrate-1 VB step and collapse
-    # the loop
+    # init unit-state means inside the data manifold so no single unit
+    # can win all responsibilities in the first lrate-1 VB step and
+    # collapse the loop.  "frames" (reference behavior) samples random
+    # data frames; "kmeans" (default) places each unit on one Lloyd
+    # centroid of the training frames — the loop then *starts* at
+    # frame-clustering quality and VB adds the temporal structure, which
+    # measurably prevents the few-units collapse on small corpora.
     rng = np.random.default_rng(seed)
     n_states = n_units * states_per_unit
-    frames = flat[rng.choice(len(flat), size=n_states, replace=len(flat) < n_states)]
+    init_method = conf.get("init", "kmeans")
+    if init_method == "kmeans":
+        sub = flat[rng.choice(len(flat), size=min(len(flat), 20000),
+                              replace=False)]
+        centers = sub[rng.choice(len(sub), size=n_units,
+                                 replace=len(sub) < n_units)]
+        for _ in range(25):
+            d2 = ((sub[:, None, :] - centers[None]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            centers = np.stack([
+                sub[assign == j].mean(0) if (assign == j).any() else centers[j]
+                for j in range(n_units)
+            ])
+        # unit u's P states all start at centroid u (+ jitter)
+        frames = np.repeat(centers, states_per_unit, axis=0)
+    else:
+        frames = flat[
+            rng.choice(len(flat), size=n_states, replace=len(flat) < n_states)
+        ]
     frames = frames + 0.1 * noise_std * flat.std(0) * rng.standard_normal(frames.shape)
     nset = beer_tpu.NormalSet.create(
         mean, cov, size=n_states,
@@ -67,6 +89,7 @@ def main(args):
     loop = PhoneLoop.create(
         n_units, states_per_unit, nset,
         unit_prior=unit_prior, concentration=concentration,
+        self_loop=self_loop,
     )
     save_model(loop, args.out)
     print(

@@ -17,7 +17,7 @@ cd "$(dirname "$0")"
 
 work=${1:-exp}
 stage_mark() { echo "=== stage $1: $2"; }
-beer() { python -m beer_tpu.cli "$@"; }
+beer() { python -m beer_tpu.cli "$@" ${BEER_DEVICE:+--device "$BEER_DEVICE"}; }
 
 mkdir -p "$work"
 
