@@ -196,18 +196,17 @@ class PhoneLoop(DiscreteLatentModel):
             final_vec = jnp.broadcast_to(
                 jnp.exp(jnp.maximum(graph.log_final, LOG_ZERO)), (b, s)
             ).astype(llh_tm.dtype)
-            a_tm, norms_tm, mllh_tm = semiring_scan.forward_llh(
+            ckpts, a_last, norms_tm, mllh_tm = semiring_scan.forward_llh_ckpt(
                 llh_tm, trans, init_vec, mask
             )
             log_z = jnp.log(norms_tm).sum(0) + mllh_tm.sum(0) + jnp.log(
-                jnp.maximum((a_tm[-1] * final_vec).sum(-1), tiny)
+                jnp.maximum((a_last * final_vec).sum(-1), tiny)
             )
             log_z = log_z * (mask.sum(-1) > 0)
             return log_z, {
                 "fused": True,
                 "llh_tm": llh_tm,
-                "a_tm": a_tm,
-                "norms_tm": norms_tm,
+                "ckpts": ckpts,
                 "stats_tm": stats_tm,
                 "mask": mask,
                 "graph": graph,
@@ -282,8 +281,8 @@ class PhoneLoop(DiscreteLatentModel):
         dt = cache["llh_tm"].dtype
         sel_r = jax.nn.one_hot(self._ends, s, dtype=dt).T      # (S, U)
         sel_c = jax.nn.one_hot(self._starts, s, dtype=dt).T    # (S, U)
-        gamma_tm, xi_raw = semiring_scan.phone_loop_estep(
-            sg(cache["llh_tm"]), sg(cache["a_tm"]), sg(cache["norms_tm"]),
+        gamma_tm, xi_raw = semiring_scan.phone_loop_estep_ckpt(
+            sg(cache["llh_tm"]), sg(cache["ckpts"]),
             sg(jnp.exp(graph.log_trans)), sg(cache["final_vec"]),
             sg(cache["mask"]), sel_r, sel_c,
         )

@@ -716,6 +716,279 @@ def forward_llh_pass(llh_tm, trans, init_vec, mask, interpret: bool = False):
     return (probs[:t_len], norms[:t_len, :, 0], mllh[:t_len, :, 0])
 
 
+def _make_fwd_llh_ckpt_kernel(k_steps):
+    """Forward recursion that writes only block-entry CHECKPOINTS.
+
+    The (T, B, S) α̂ stream is the forward pass's dominant HBM traffic
+    (measured: the scan kernels are stream-bound at ~95-160 GB/s, see
+    tools/exp_stream_dma.py / docs/PERFORMANCE.md).  Storing only the
+    carry entering each K-step block — T/K times fewer bytes — and
+    recomputing each block's α̂ tile inside the smoothing kernel (same
+    ops, same order ⇒ bit-identical) removes ~2/3 of the fused E-step's
+    α̂ bytes at the cost of one extra in-VMEM matmul chain per block.
+    """
+
+    def kernel(llh_ref, m_ref, trans_ref, init_ref,
+               ckpt_out, last_out, norm_out, mllh_out, carry_p):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            carry_p[:] = init_ref[:].astype(jnp.float32)
+
+        p = carry_p[:]
+        ckpt_out[0] = p.astype(ckpt_out.dtype)       # block-entry carry
+        t_hi, t_lo = _split_bf16(trans_ref[:])
+        for k in range(k_steps):
+            m_t = m_ref[k].astype(jnp.float32)
+            e_t, mllh = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            propagated = _dot3(p, t_hi, t_lo)
+            if k == 0:
+                base = jnp.where(pid == 0, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_t
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            keep = m_t
+            if k == 0:
+                keep = jnp.where(pid == 0, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            norm_out[k] = (keep * norm + (1.0 - keep)).astype(norm_out.dtype)
+            mllh_out[k] = mllh.astype(mllh_out.dtype)
+        carry_p[:] = p
+        last_out[0] = p.astype(last_out.dtype)
+
+    return kernel
+
+
+def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
+                          interpret: bool = False):
+    """Scaled forward emitting block-entry checkpoints instead of the
+    full α̂ stream; see :func:`_make_fwd_llh_ckpt_kernel`.
+
+    Returns (ckpts (n_blocks, B, S) block-entry carries, last (B, S)
+    final carry, per-step norms (T, B), masked rowmax shifts (T, B)).
+    ``log Z = Σ_t log c_t + Σ_t mllh_t + log Σ last·final``.
+    """
+    t_len, b, s = llh_tm.shape
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    llh_p = _pad_tm(llh_tm, t_pad, 0.0)
+    m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+    n_blocks = t_pad // k_steps
+    idx = lambda t: (t, 0, 0)
+    big_one = pl.BlockSpec((1, b, s), idx, memory_space=pltpu.VMEM)
+    fixed_one = pl.BlockSpec((1, b, s), lambda t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM)
+    ckpts, last, norms, mllh = pl.pallas_call(
+        _make_fwd_llh_ckpt_kernel(k_steps),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM),
+            small,
+            pl.BlockSpec((s, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[big_one, fixed_one, small, small],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, b, s), llh_tm.dtype),
+            jax.ShapeDtypeStruct((1, b, s), llh_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), llh_tm.dtype),
+            jax.ShapeDtypeStruct((t_pad, b, 1), llh_tm.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(llh_p, m_tm, trans, init_vec)
+    return (ckpts, last[0], norms[:t_len, :, 0], mllh[:t_len, :, 0])
+
+
+def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
+    """Fused E-step epilogue recomputing α̂ from block checkpoints.
+
+    Identical math to :func:`_make_estep_kernel`, but the (K, B, S) α̂
+    tile and the per-step forward norms are REGENERATED in VMEM from the
+    block-entry checkpoint (same ops in the same order as the forward
+    kernel ⇒ bit-identical values), so neither the α̂ stream nor the
+    norms are read from HBM.
+    """
+
+    def kernel(llh_ref, m_ref, mn_ref, ckpt_ref,
+               trans_ref, trans_t_ref, final_ref, selr_ref, selc_ref,
+               gamma_out, xi_out,
+               carry_v, carry_wsel, carry_wgt, xi, wsel_tile, wgt_tile,
+               a_tile, e_tile, norm_tile):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            carry_v[:] = f / jnp.maximum(f.sum(-1, keepdims=True), tiny)
+            carry_wsel[:] = jnp.zeros_like(carry_wsel)
+            carry_wgt[:] = jnp.zeros_like(carry_wgt)
+            xi[:] = jnp.zeros_like(xi)
+
+        # ---- recompute phase: regenerate this block's α̂/e/norm tiles
+        # from the entry checkpoint (reverse grid: time-block 0 is the
+        # LAST grid step)
+        first_time_block = pid == n_blocks - 1
+        p = ckpt_ref[0].astype(jnp.float32)
+        t_hi, t_lo = _split_bf16(trans_ref[:])
+        for k in range(k_steps):
+            m_t = m_ref[k].astype(jnp.float32)
+            e_t, _ = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            e_tile[k] = e_t
+            propagated = _dot3(p, t_hi, t_lo)
+            if k == 0:
+                base = jnp.where(first_time_block, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_t
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            keep = m_t
+            if k == 0:
+                keep = jnp.where(first_time_block, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            a_tile[k] = p
+            norm_tile[k] = keep * norm + (1.0 - keep)
+
+        # ---- backward smoothing phase (as _make_estep_kernel, with the
+        # α̂/e/norm tiles read from VMEM scratch)
+        v_hat = carry_v[:]
+        prev_wsel = carry_wsel[:]
+        prev_wgt = carry_wgt[:]
+        tt_hi, tt_lo = _split_bf16(trans_t_ref[:])
+        final = final_ref[:].astype(jnp.float32)
+        sel_c = selc_ref[:]
+        hi = jax.lax.Precision.HIGHEST
+        b = v_hat.shape[0]
+        for k in range(k_steps - 1, -1, -1):
+            m_t = m_ref[k].astype(jnp.float32)
+            mn_t = mn_ref[k].astype(jnp.float32)
+            is_last = m_t * (1.0 - mn_t)
+            e_t = e_tile[k]
+            a_t = a_tile[k]
+            u1 = _dot3(v_hat, tt_hi, tt_lo)
+            u1 = is_last * final + (1.0 - is_last) * u1
+            ab = a_t * u1
+            pn = jnp.maximum(ab.sum(-1, keepdims=True), tiny)
+            gamma = (ab / pn) * m_t
+            gamma_out[k] = gamma.astype(gamma_out.dtype)
+            v = e_t * u1
+            sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
+            w = v / sv
+            wsel_tile[k] = jnp.dot(w, sel_c,
+                                   preferred_element_type=jnp.float32,
+                                   precision=hi)
+            denom = norm_tile[k] * ab.sum(-1, keepdims=True) / sv
+            wgt_tile[k] = jnp.where(denom > 1e-30,
+                                    m_t / jnp.maximum(denom, 1e-30), 0.0)
+            v_hat = m_t * w + (1.0 - m_t) * v_hat
+        carry_v[:] = v_hat
+
+        u_sel_all = jnp.dot(
+            a_tile[:].reshape(k_steps * b, -1),
+            selr_ref[:],
+            preferred_element_type=jnp.float32, precision=hi,
+        ).reshape(k_steps, b, -1)                          # (K, B, R)
+        wsel_all = wsel_tile[:]
+        wgt_all = wgt_tile[:]
+        uw_in = (u_sel_all[:-1] * wgt_all[1:]).reshape((k_steps - 1) * b, -1)
+        xi_v = xi[:] + jax.lax.dot_general(
+            uw_in, wsel_all[1:].reshape((k_steps - 1) * b, -1),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        xi_v = xi_v + jax.lax.dot_general(
+            u_sel_all[k_steps - 1] * prev_wgt, prev_wsel,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        carry_wsel[:] = wsel_all[0]
+        carry_wgt[:] = wgt_all[0]
+        xi[:] = xi_v
+        xi_out[:] = xi_v.astype(xi_out.dtype)
+
+    return kernel
+
+
+def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
+                               sel_r, sel_c, interpret: bool = False):
+    """Fused smoothing + restricted ξ from forward CHECKPOINTS.
+
+    Inputs: llh_tm (T, B, S); ckpts (n_blocks, B, S) block-entry carries
+    from :func:`forward_llh_ckpt_pass` (the per-step norms are
+    recomputed in-kernel); trans (S, S) probability-space transitions;
+    final_vec (B, S); mask (B, T); sel_r/sel_c (S, n) one-hot
+    selections.  Returns (γ (T, B, S), xi_raw (n_r, n_c)).
+    """
+    t_len, b, s = llh_tm.shape
+    n_r, n_c = sel_r.shape[1], sel_c.shape[1]
+    dtype = llh_tm.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    n_blocks = t_pad // k_steps
+    if ckpts.shape[0] != n_blocks:
+        raise ValueError(
+            f"checkpoint count {ckpts.shape[0]} != n_blocks {n_blocks}; "
+            "forward_llh_ckpt_pass and phone_loop_estep_ckpt_pass must "
+            "see the same (B, S) block size"
+        )
+    llh_p = _pad_tm(llh_tm, t_pad, 0.0)
+    m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+    mn = jnp.concatenate(
+        [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
+    )
+    mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+    rev = lambda g: (n_blocks - 1 - g, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), rev, memory_space=pltpu.VMEM)
+    ckpt_spec = pl.BlockSpec((1, b, s), rev, memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    gamma, xi = pl.pallas_call(
+        _make_estep_ckpt_kernel(k_steps, n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            big, small, small, ckpt_spec,
+            const2((s, s)), const2((s, s)), const2((b, s)),
+            const2((s, n_r)), const2((s, n_c)),
+        ],
+        out_specs=[big, const2((n_r, n_c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), dtype),
+            jax.ShapeDtypeStruct((n_r, n_c), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, s), jnp.float32),
+            pltpu.VMEM((b, n_c), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((n_r, n_c), jnp.float32),
+            pltpu.VMEM((k_steps, b, n_c), jnp.float32),
+            pltpu.VMEM((k_steps, b, 1), jnp.float32),
+            pltpu.VMEM((k_steps, b, s), jnp.float32),
+            pltpu.VMEM((k_steps, b, s), jnp.float32),
+            pltpu.VMEM((k_steps, b, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(llh_p, m_tm, mn_tm, ckpts, trans, trans.T, final_vec,
+      sel_r, sel_c)
+    return gamma[:t_len], xi
+
+
 def _make_estep_kernel(k_steps: int, n_blocks: int):
     """Fused phone-loop E-step epilogue: backward recursion + ALL
     accumulations in one kernel — nothing (B, T, S)-sized is written.

@@ -351,6 +351,57 @@ def _fwd_llh_bwd(res, ct):
 forward_llh.defvjp(_fwd_llh_fwd, _fwd_llh_bwd)
 
 
+@jax.custom_vjp
+def forward_llh_ckpt(llh_tm, trans, init_vec, mask):
+    """Pallas scaled forward emitting block-entry CHECKPOINTS instead of
+    the full α̂ stream (the stream is the kernel's dominant HBM cost —
+    docs/PERFORMANCE.md).  Returns (ckpts (n_blocks, B, S), last (B, S),
+    per-step norms (T, B), masked rowmax shifts (T, B)).  custom_vjp
+    recomputes through the jnp scan (SVAE ∂log Z/∂llh)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask)
+
+
+def _fwd_llh_ckpt_reference(llh_tm, trans, init_vec, mask):
+    from beer_tpu.ops import pallas_scan
+
+    p, norms, mllh = _fwd_llh_reference(llh_tm, trans, init_vec, mask)
+    t_len, b, s = llh_tm.shape
+    k = pallas_scan._steps_per_block(b, s)
+    n_blocks = -(-t_len // k)
+    entries = [jnp.broadcast_to(init_vec, (b, s)).astype(llh_tm.dtype)]
+    for g in range(1, n_blocks):
+        entries.append(p[g * k - 1])
+    return jnp.stack(entries), p[-1], norms, mllh
+
+
+def _fwd_llh_ckpt_fwd(*args):
+    return forward_llh_ckpt(*args), args
+
+
+def _fwd_llh_ckpt_bwd(res, ct):
+    _, vjp = jax.vjp(_fwd_llh_ckpt_reference, *res)
+    return vjp(ct)
+
+
+forward_llh_ckpt.defvjp(_fwd_llh_ckpt_fwd, _fwd_llh_ckpt_bwd)
+
+
+def phone_loop_estep_ckpt(llh_tm, ckpts, trans, final_vec, mask,
+                          sel_r, sel_c):
+    """Fused phone-loop smoothing + restricted ξ from forward
+    checkpoints — the α̂ tile and per-step norms are regenerated in VMEM
+    (bit-identical ops), so only llh, the checkpoints, and γ cross HBM.
+    Not differentiable (stop-gradient inputs, as
+    :func:`phone_loop_estep`)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, final_vec, mask, sel_r, sel_c,
+    )
+
+
 def phone_loop_estep(llh_tm, a_tm, norms_tm, trans, final_vec,
                      mask, sel_r, sel_c):
     """Fused phone-loop smoothing + in-kernel restricted ξ (Pallas; TPU

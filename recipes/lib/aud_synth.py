@@ -103,9 +103,9 @@ def make_split(
     scp_lines, ref_lines, transcripts = [], [], []
     n_phones = len(steady)
     for i in range(n_utts):
-        spk_scale = rng.uniform(0.92, 1.08)
+        spk_scale = rng.uniform(0.88, 1.12)
         gain = rng.uniform(0.6, 1.1)
-        noise_std = rng.uniform(0.01, 0.06)
+        noise_std = rng.uniform(0.05, 0.18)
         n_seg = int(rng.integers(5, 11))
         seq = rng.choice(n_phones, size=n_seg, p=unigram)
         segs, labels = [], []

@@ -178,3 +178,65 @@ def test_forward_llh_matches_reference(rng):
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(l), np.asarray(l_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sh), np.asarray(s_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_forward_llh_ckpt_matches_reference(rng):
+    """forward_llh_ckpt_pass == checkpoints sliced from the full pass."""
+    e_llh, trans, init, final, mask = make_case(rng)
+    llh = jnp.log(jnp.maximum(e_llh, 1e-30)) - 3.0
+    llh_tm = jnp.swapaxes(llh, 0, 1)
+    c_ref, last_ref, n_ref, s_ref = semiring_scan._fwd_llh_ckpt_reference(
+        llh_tm, trans, init, mask
+    )
+    c, last, n, sh = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, init, mask, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(s_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_estep_ckpt_matches_reference(rng):
+    """checkpointed fused E-step (forward_llh_ckpt_pass →
+    phone_loop_estep_ckpt_pass, interpret) == the general-path reference
+    — γ and restricted ξ, ragged masks included."""
+    b, t_len, n_units, spu, d = 3, 17, 4, 3, 2
+    s = n_units * spu
+    lt, li, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = [t_len, 9, 1]
+    mask = np.zeros((b, t_len), np.float32)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    args = (jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li),
+            jnp.asarray(lf), jnp.asarray(mask))
+    ref = semiring_scan.phone_loop_estep_reference(
+        args[0], args[1], args[2], args[3], args[4], rows, cols,
+    )
+    llh_tm = jnp.swapaxes(args[0], 0, 1)
+    trans = jnp.exp(args[1])
+    iv = jnp.broadcast_to(jnp.exp(args[2]), (b, s)).astype(jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(args[3]), (b, s)).astype(jnp.float32)
+    ckpts, last, norms, mllh = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, args[4], interpret=True
+    )
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+    gamma_tm, xi_raw = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, fv, args[4], sel_r, sel_c, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(gamma_tm, 0, 1)), np.asarray(ref[0]),
+        rtol=2e-4, atol=1e-5, err_msg="gamma",
+    )
+    np.testing.assert_allclose(
+        np.asarray(xi_raw), np.asarray(ref[1]), rtol=2e-4, atol=1e-5,
+        err_msg="xi_raw",
+    )

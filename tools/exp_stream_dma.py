@@ -26,18 +26,36 @@ from beer_tpu.ops.pallas_scan import _exp_tile, _pad_tm
 B, T = 512, 500
 
 
-def make_stream_kernel(k_steps):
+def make_stream_kernel(k_steps, use_exp=True):
     def kernel(llh_ref, m_ref, prob_out, norm_out):
         for k in range(k_steps):
             m_t = m_ref[k].astype(jnp.float32)
-            e_t, _ = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            if use_exp:
+                e_t, _ = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            else:
+                e_t = llh_ref[k].astype(jnp.float32) * m_t
             prob_out[k] = (2.0 * e_t).astype(prob_out.dtype)
             norm_out[k] = m_t.astype(norm_out.dtype)
 
     return kernel
 
+def make_stream_kernel_wide(k_steps, use_exp=True):
+    """Whole-block elementwise (one (K*B, S) op instead of K (B, S) ops)."""
+    def kernel(llh_ref, m_ref, prob_out, norm_out):
+        x = llh_ref[:].astype(jnp.float32)
+        m = m_ref[:].astype(jnp.float32)
+        if use_exp:
+            mx = jnp.max(x, axis=-1, keepdims=True)
+            e = m * jnp.exp(x - mx) + (1.0 - m)
+        else:
+            e = x * m
+        prob_out[:] = (2.0 * e).astype(prob_out.dtype)
+        norm_out[:] = m.astype(norm_out.dtype)
 
-def stream(llh_tm, mask, k_steps):
+    return kernel
+
+
+def stream(llh_tm, mask, k_steps, use_exp=True, wide=False):
     t_len, b, s = llh_tm.shape
     t_pad = -(-t_len // k_steps) * k_steps
     llh_p = _pad_tm(llh_tm, t_pad, 0.0)
@@ -46,8 +64,9 @@ def stream(llh_tm, mask, k_steps):
     idx = lambda t: (t, 0, 0)
     big = pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM)
     small = pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM)
+    maker = make_stream_kernel_wide if wide else make_stream_kernel
     probs, norms = pl.pallas_call(
-        make_stream_kernel(k_steps),
+        maker(k_steps, use_exp),
         grid=(n_blocks,),
         in_specs=[big, small],
         out_specs=[big, small],
@@ -95,6 +114,14 @@ def main():
     lengths = rng.integers(T // 2, T + 1, size=B)
     mask = jnp.asarray(
         (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32))
+    llh = jnp.asarray(rng.normal(size=(T, B, 150)).astype(np.float32))
+    for name, kw in [("copy-k8", dict(k_steps=8, use_exp=False)),
+                     ("wide-exp-k8", dict(k_steps=8, wide=True)),
+                     ("wide-copy-k8", dict(k_steps=8, use_exp=False, wide=True))]:
+        dt = timeit(lambda l, m, kw=kw: stream(l, m, **kw), (llh, mask))
+        mb = (T * B * 150 * 4 * 2) / 1e6
+        print(f"{name}: {dt*1e3:.3f} ms ({mb/dt/1e3:.0f} GB/s)", flush=True)
+    return
     for s in (150, 256):
         llh = jnp.asarray(rng.normal(size=(T, B, s)).astype(np.float32))
         mb = (T * B * s * 4 * 2) / 1e6

@@ -120,7 +120,7 @@ def main():
     def body_infer(model, xp, mask):
         stats = model.sufficient_statistics(xp)
         log_z, cache = model.infer(stats, mask=mask)
-        return (log_z.sum() + cache["a_tm"][-1].sum()) * 1e-30
+        return (log_z.sum() + cache["ckpts"][-1].sum()) * 1e-30
 
     def body_estep(model, xp, mask):
         elbo, acc = elbo_and_stats(model, xp, mask=mask)
