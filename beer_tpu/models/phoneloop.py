@@ -196,10 +196,10 @@ class PhoneLoop(DiscreteLatentModel):
             final_vec = jnp.broadcast_to(
                 jnp.exp(jnp.maximum(graph.log_final, LOG_ZERO)), (b, s)
             ).astype(llh_tm.dtype)
-            ckpts, a_last, norms_tm, mllh_tm = semiring_scan.forward_llh_ckpt(
+            ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt(
                 llh_tm, trans, init_vec, mask
             )
-            log_z = jnp.log(norms_tm).sum(0) + mllh_tm.sum(0) + jnp.log(
+            log_z = logz_base + jnp.log(
                 jnp.maximum((a_last * final_vec).sum(-1), tiny)
             )
             log_z = log_z * (mask.sum(-1) > 0)

@@ -728,20 +728,27 @@ def _make_fwd_llh_ckpt_kernel(k_steps):
     α̂ bytes at the cost of one extra in-VMEM matmul chain per block.
     """
 
-    def kernel(llh_ref, m_ref, trans_ref, init_ref,
-               ckpt_out, last_out, norm_out, mllh_out, carry_p):
+    def kernel(llh_ref, len_ref, trans_ref, init_ref,
+               ckpt_out, last_out, logz_out, carry_p, carry_z):
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
         @pl.when(pid == 0)
         def _():
             carry_p[:] = init_ref[:].astype(jnp.float32)
+            carry_z[:] = jnp.zeros_like(carry_z)
 
         p = carry_p[:]
+        z = carry_z[:]                               # (B, 1) Σ log c + mllh
         ckpt_out[0] = p.astype(ckpt_out.dtype)       # block-entry carry
         t_hi, t_lo = _split_bf16(trans_ref[:])
+        # the mask never streams from HBM: each (K, B, 1) side stream
+        # costs ~0.4 ms at the bench shape (tools/exp_small_specs.py) —
+        # derive it from the per-utterance lengths, a fixed (B, 1) input
+        lens = len_ref[:].astype(jnp.float32)
+        t0 = (pid * k_steps).astype(jnp.float32)
         for k in range(k_steps):
-            m_t = m_ref[k].astype(jnp.float32)
+            m_t = (lens > t0 + k).astype(jnp.float32)
             e_t, mllh = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
             propagated = _dot3(p, t_hi, t_lo)
             if k == 0:
@@ -755,10 +762,14 @@ def _make_fwd_llh_ckpt_kernel(k_steps):
             if k == 0:
                 keep = jnp.where(pid == 0, 1.0, keep)
             p = keep * new_p + (1.0 - keep) * p
-            norm_out[k] = (keep * norm + (1.0 - keep)).astype(norm_out.dtype)
-            mllh_out[k] = mllh.astype(mllh_out.dtype)
+            # per-step norms never reach HBM: log Z only needs their
+            # running log-sum (+ the rowmax shifts), a (B, 1) carry —
+            # the smoothing kernel regenerates the per-step values
+            z = z + keep * jnp.log(norm) + mllh
         carry_p[:] = p
+        carry_z[:] = z
         last_out[0] = p.astype(last_out.dtype)
+        logz_out[0] = z.astype(logz_out.dtype)
 
     return kernel
 
@@ -769,45 +780,50 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
     full α̂ stream; see :func:`_make_fwd_llh_ckpt_kernel`.
 
     Returns (ckpts (n_blocks, B, S) block-entry carries, last (B, S)
-    final carry, per-step norms (T, B), masked rowmax shifts (T, B)).
-    ``log Z = Σ_t log c_t + Σ_t mllh_t + log Σ last·final``.
+    final carry, logz_base (B,) = Σ_t log c_t + Σ_t mllh_t).
+    ``log Z = logz_base + log Σ last·final``.
+
+    The mask must be a contiguous prefix per row (frames [0, len_b)) —
+    the framework's padded-batch invariant; the kernel reconstructs it
+    from the per-row lengths so no (T, B) mask stream touches HBM.
     """
     t_len, b, s = llh_tm.shape
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
     llh_p = _pad_tm(llh_tm, t_pad, 0.0)
-    m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
+    lens = mask.astype(jnp.float32).sum(-1)[:, None]   # (B, 1)
     n_blocks = t_pad // k_steps
     idx = lambda t: (t, 0, 0)
     big_one = pl.BlockSpec((1, b, s), idx, memory_space=pltpu.VMEM)
     fixed_one = pl.BlockSpec((1, b, s), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM)
-    small = pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM)
-    ckpts, last, norms, mllh = pl.pallas_call(
+    fixed_small = pl.BlockSpec((1, b, 1), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    ckpts, last, logz = pl.pallas_call(
         _make_fwd_llh_ckpt_kernel(k_steps),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM),
-            small,
+            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((s, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[big_one, fixed_one, small, small],
+        out_specs=[big_one, fixed_one, fixed_small],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, b, s), llh_tm.dtype),
             jax.ShapeDtypeStruct((1, b, s), llh_tm.dtype),
-            jax.ShapeDtypeStruct((t_pad, b, 1), llh_tm.dtype),
-            jax.ShapeDtypeStruct((t_pad, b, 1), llh_tm.dtype),
+            jax.ShapeDtypeStruct((1, b, 1), llh_tm.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((b, s), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(llh_p, m_tm, trans, init_vec)
-    return (ckpts, last[0], norms[:t_len, :, 0], mllh[:t_len, :, 0])
+    )(llh_p, lens, trans, init_vec)
+    return (ckpts, last[0], logz[0, :, 0])
 
 
 def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
@@ -820,11 +836,11 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
     norms are read from HBM.
     """
 
-    def kernel(llh_ref, m_ref, mn_ref, ckpt_ref,
+    def kernel(llh_ref, len_ref, ckpt_ref,
                trans_ref, trans_t_ref, final_ref, selr_ref, selc_ref,
                gamma_out, xi_out,
-               carry_v, carry_wsel, carry_wgt, xi, wsel_tile, wgt_tile,
-               a_tile, e_tile, norm_tile):
+               carry_v, carry_wsel, carry_wgt, xi,
+               wsel_tile, wgt_tile, a_tile, e_tile, norm_tile):
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -836,6 +852,11 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
             carry_wgt[:] = jnp.zeros_like(carry_wgt)
             xi[:] = jnp.zeros_like(xi)
 
+        # mask derived in-kernel from per-row lengths (prefix-mask
+        # invariant) — no (K, B, 1) HBM side stream
+        lens = len_ref[:].astype(jnp.float32)
+        t0 = ((n_blocks - 1 - pid) * k_steps).astype(jnp.float32)
+
         # ---- recompute phase: regenerate this block's α̂/e/norm tiles
         # from the entry checkpoint (reverse grid: time-block 0 is the
         # LAST grid step)
@@ -843,7 +864,7 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
         p = ckpt_ref[0].astype(jnp.float32)
         t_hi, t_lo = _split_bf16(trans_ref[:])
         for k in range(k_steps):
-            m_t = m_ref[k].astype(jnp.float32)
+            m_t = (lens > t0 + k).astype(jnp.float32)
             e_t, _ = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
             e_tile[k] = e_t
             propagated = _dot3(p, t_hi, t_lo)
@@ -862,7 +883,8 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
             norm_tile[k] = keep * norm + (1.0 - keep)
 
         # ---- backward smoothing phase (as _make_estep_kernel, with the
-        # α̂/e/norm tiles read from VMEM scratch)
+        # α̂/e/norm tiles read from VMEM scratch and the masks at t and
+        # t+1 derived from the lengths)
         v_hat = carry_v[:]
         prev_wsel = carry_wsel[:]
         prev_wgt = carry_wgt[:]
@@ -872,8 +894,8 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
         hi = jax.lax.Precision.HIGHEST
         b = v_hat.shape[0]
         for k in range(k_steps - 1, -1, -1):
-            m_t = m_ref[k].astype(jnp.float32)
-            mn_t = mn_ref[k].astype(jnp.float32)
+            m_t = (lens > t0 + k).astype(jnp.float32)
+            mn_t = (lens > t0 + k + 1).astype(jnp.float32)
             is_last = m_t * (1.0 - mn_t)
             e_t = e_tile[k]
             a_t = a_tile[k]
@@ -944,14 +966,9 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
             "see the same (B, S) block size"
         )
     llh_p = _pad_tm(llh_tm, t_pad, 0.0)
-    m_tm = _pad_tm(mask.T, t_pad, 0.0)[..., None]
-    mn = jnp.concatenate(
-        [mask[:, 1:], jnp.zeros((b, t_pad - t_len + 1), mask.dtype)], axis=1
-    )
-    mn_tm = jnp.swapaxes(mn, 0, 1)[..., None]
+    lens = mask.astype(jnp.float32).sum(-1)[:, None]   # (B, 1)
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
     big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
-    small = pl.BlockSpec((k_steps, b, 1), rev, memory_space=pltpu.VMEM)
     ckpt_spec = pl.BlockSpec((1, b, s), rev, memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
@@ -960,7 +977,7 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
         _make_estep_ckpt_kernel(k_steps, n_blocks),
         grid=(n_blocks,),
         in_specs=[
-            big, small, small, ckpt_spec,
+            big, const2((b, 1)), ckpt_spec,
             const2((s, s)), const2((s, s)), const2((b, s)),
             const2((s, n_r)), const2((s, n_c)),
         ],
@@ -984,7 +1001,7 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(llh_p, m_tm, mn_tm, ckpts, trans, trans.T, final_vec,
+    )(llh_p, lens, ckpts, trans, trans.T, final_vec,
       sel_r, sel_c)
     return gamma[:t_len], xi
 

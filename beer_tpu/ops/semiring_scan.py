@@ -356,8 +356,9 @@ def forward_llh_ckpt(llh_tm, trans, init_vec, mask):
     """Pallas scaled forward emitting block-entry CHECKPOINTS instead of
     the full α̂ stream (the stream is the kernel's dominant HBM cost —
     docs/PERFORMANCE.md).  Returns (ckpts (n_blocks, B, S), last (B, S),
-    per-step norms (T, B), masked rowmax shifts (T, B)).  custom_vjp
-    recomputes through the jnp scan (SVAE ∂log Z/∂llh)."""
+    logz_base (B,) = Σ_t log c_t + Σ_t mllh_t); ``log Z = logz_base +
+    log Σ last·final``.  custom_vjp recomputes through the jnp scan
+    (SVAE ∂log Z/∂llh)."""
     from beer_tpu.ops import pallas_scan
 
     return pallas_scan.forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask)
@@ -373,7 +374,8 @@ def _fwd_llh_ckpt_reference(llh_tm, trans, init_vec, mask):
     entries = [jnp.broadcast_to(init_vec, (b, s)).astype(llh_tm.dtype)]
     for g in range(1, n_blocks):
         entries.append(p[g * k - 1])
-    return jnp.stack(entries), p[-1], norms, mllh
+    logz_base = (jnp.log(norms) * mask.T).sum(0) + mllh.sum(0)
+    return jnp.stack(entries), p[-1], logz_base
 
 
 def _fwd_llh_ckpt_fwd(*args):

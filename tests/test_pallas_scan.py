@@ -185,20 +185,18 @@ def test_forward_llh_ckpt_matches_reference(rng):
     e_llh, trans, init, final, mask = make_case(rng)
     llh = jnp.log(jnp.maximum(e_llh, 1e-30)) - 3.0
     llh_tm = jnp.swapaxes(llh, 0, 1)
-    c_ref, last_ref, n_ref, s_ref = semiring_scan._fwd_llh_ckpt_reference(
+    c_ref, last_ref, z_ref = semiring_scan._fwd_llh_ckpt_reference(
         llh_tm, trans, init, mask
     )
-    c, last, n, sh = pallas_scan.forward_llh_ckpt_pass(
+    c, last, z = pallas_scan.forward_llh_ckpt_pass(
         llh_tm, trans, init, mask, interpret=True
     )
     np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
                                rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(n), np.asarray(n_ref),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(sh), np.asarray(s_ref),
-                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-4)
 
 
 def test_fused_estep_ckpt_matches_reference(rng):
@@ -224,7 +222,7 @@ def test_fused_estep_ckpt_matches_reference(rng):
     trans = jnp.exp(args[1])
     iv = jnp.broadcast_to(jnp.exp(args[2]), (b, s)).astype(jnp.float32)
     fv = jnp.broadcast_to(jnp.exp(args[3]), (b, s)).astype(jnp.float32)
-    ckpts, last, norms, mllh = pallas_scan.forward_llh_ckpt_pass(
+    ckpts, last, logz_base = pallas_scan.forward_llh_ckpt_pass(
         llh_tm, trans, iv, args[4], interpret=True
     )
     sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
