@@ -201,6 +201,42 @@ class NormalSet(ModelSet):
             )
         return llh - 0.5 * self.dim * LOG_2PI
 
+    def ellh_matrix(self):
+        """(W (P, K), bias (K,)) with ``expected_log_likelihood(stats)
+        == stats @ W + bias`` for the diagonal reduced-stats layout —
+        the affine form the fused-ELLH scan kernels consume
+        (:func:`beer_tpu.ops.semiring_scan.forward_stats_ckpt`)."""
+        if self.cov_type != "diagonal" or self.fused:
+            raise ValueError(
+                "ellh_matrix is only defined for the diagonal "
+                "reduced-stats layout"
+            )
+        e_stats = self.means_precisions.expected_sufficient_statistics()
+        d = self.dim
+        bias = -0.5 * e_stats[:, 2 * d:3 * d].sum(-1) \
+            + 0.5 * e_stats[:, 3 * d:].sum(-1) - 0.5 * d * LOG_2PI
+        return e_stats[:, :2 * d].T, bias
+
+    def accumulate_from_moments(
+        self, acc2: jnp.ndarray, counts: jnp.ndarray
+    ) -> Dict[str, Any]:
+        """Natural-space statistics from pre-accumulated moments:
+        ``acc2 (K, 2d) = Σ_t resps_t ⊗ stats_t`` and ``counts (K,) =
+        Σ_t resps_t`` — what :meth:`accumulate` computes from the full
+        (T, K) responsibilities.  Lets kernels that accumulate γ
+        in-VMEM (:func:`beer_tpu.ops.semiring_scan.phone_loop_estep_ckpt_acc`)
+        feed the conjugate update without materializing γ."""
+        if self.cov_type != "diagonal" or self.fused:
+            raise ValueError(
+                "accumulate_from_moments is only defined for the "
+                "diagonal reduced-stats layout"
+            )
+        c = counts[..., None]
+        ones = jnp.ones((self.dim,), acc2.dtype)
+        acc = jnp.concatenate([acc2, -0.5 * c * ones, 0.5 * c * ones],
+                              axis=-1)
+        return {"means_precisions": acc}
+
     def accumulate(self, stats: jnp.ndarray, resps: jnp.ndarray) -> Dict[str, Any]:
         """resps (T, K) → natural-space statistics for the parameter."""
         if self.fused:

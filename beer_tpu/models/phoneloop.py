@@ -181,8 +181,12 @@ class PhoneLoop(DiscreteLatentModel):
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         if self._fused_estep_ok():
             graph = self._effective_graph()
-            # transpose the (smaller) stats once and compute llh directly
-            # time-major; the same stats_tm is reused by accumulate
+            # transpose the (smaller) stats once and compute llh with one
+            # XLA matmul; streaming llh into the kernels beats computing
+            # it in-kernel from (stats, W, bias) — the in-VMEM HIGHEST
+            # matmul costs more than the stream bytes it saves
+            # (tools/exp_latency_vs_stream.py; forward_stats_ckpt keeps
+            # the fused-ELLH variant for larger S/P ratios)
             stats_tm = jnp.swapaxes(stats, 0, 1)
             llh_tm = self.modelset.expected_log_likelihood(stats_tm)
             t_len, b, s = llh_tm.shape
@@ -272,9 +276,15 @@ class PhoneLoop(DiscreteLatentModel):
         """Fused kernel: backward recursion + γ + in-kernel restricted ξ
         (the β̂/w factors never reach HBM); the emission accumulation
         runs as one MXU-shaped XLA matmul over the time-major γ and the
-        cached time-major stats — no transposes anywhere.  Conjugate
-        statistics carry no gradients (matching the reference's
-        hook-harvested stats), hence the stop_gradient."""
+        cached time-major stats.  Measured AGAINST fusing that matmul
+        into the kernel (semiring_scan.phone_loop_estep_ckpt_acc): XLA
+        streams γ+stats at ~700 GB/s while an in-kernel stats stream
+        pays the ~250 GB/s pallas pipeline rate and the in-VMEM HIGHEST
+        matmul doesn't hide behind it — the fusion LOSES ~1.3 ms/epoch
+        at the bench shape despite eliminating the (T, B, S) γ HBM
+        round-trip (tools/exp_acc_variants.py).  Conjugate statistics
+        carry no gradients (matching the reference's hook-harvested
+        stats), hence the stop_gradient."""
         sg = jax.lax.stop_gradient
         graph = cache["graph"]
         s = self.n_states

@@ -634,6 +634,36 @@ def _exp_tile(llh_t, m_t):
     return e, mx * m_t
 
 
+def _llh_block(x_ref, w_ref, bias_ref, fuse_ellh):
+    """Whole-block llh (K, B, S) — or None when llh streams directly.
+
+    Computed as ONE (K·B, P) @ (P, S) MXU matmul at block entry
+    (HIGHEST precision — the exact op
+    ``NormalSet.expected_log_likelihood`` runs outside, so the fused
+    path is bit-identical between the two kernels that share this
+    helper).  One big matmul, not K per-step ones: the llh tiles don't
+    depend on the recursion, and chopping the product into per-step
+    (B, P) matmuls serializes them behind the carry chain (measured
+    +1.4 ms/epoch on the smoothing kernel)."""
+    if not fuse_ellh:
+        return None
+    x = x_ref[:].astype(jnp.float32)
+    k, b, p = x.shape
+    llh = jnp.dot(
+        x.reshape(k * b, p), w_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return llh.reshape(k, b, -1) + bias_ref[:][None]
+
+
+def _llh_tile(x_ref, llh_blk, k):
+    """Step-k llh (B, S) from the streamed tile or the block product."""
+    if llh_blk is not None:
+        return llh_blk[k]
+    return x_ref[k].astype(jnp.float32)
+
+
 def _make_fwd_llh_kernel(k_steps: int):
     """Forward kernel taking raw llh tiles: exp(llh − rowmax) is computed
     in VMEM, so the (B, T, S) e_llh array never exists in HBM.  Emits the
@@ -716,7 +746,7 @@ def forward_llh_pass(llh_tm, trans, init_vec, mask, interpret: bool = False):
     return (probs[:t_len], norms[:t_len, :, 0], mllh[:t_len, :, 0])
 
 
-def _make_fwd_llh_ckpt_kernel(k_steps):
+def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False):
     """Forward recursion that writes only block-entry CHECKPOINTS.
 
     The (T, B, S) α̂ stream is the forward pass's dominant HBM traffic
@@ -726,10 +756,23 @@ def _make_fwd_llh_ckpt_kernel(k_steps):
     recomputing each block's α̂ tile inside the smoothing kernel (same
     ops, same order ⇒ bit-identical) removes ~2/3 of the fused E-step's
     α̂ bytes at the cost of one extra in-VMEM matmul chain per block.
+
+    With ``fuse_ellh`` the kernel streams the reduced sufficient
+    statistics (T, B, P) instead of llh (T, B, S) and computes
+    ``llh_t = stats_t @ W + bias`` on the MXU in VMEM (HIGHEST
+    precision, exactly the op `NormalSet.expected_log_likelihood`
+    runs outside) — llh never exists in HBM, and the streamed minor
+    dim shrinks from S lanes to P lanes.
     """
 
-    def kernel(llh_ref, len_ref, trans_ref, init_ref,
-               ckpt_out, last_out, logz_out, carry_p, carry_z):
+    def kernel(*refs):
+        if fuse_ellh:
+            (llh_ref, len_ref, w_ref, bias_ref, trans_ref, init_ref,
+             ckpt_out, last_out, logz_out, carry_p, carry_z) = refs
+        else:
+            (llh_ref, len_ref, trans_ref, init_ref,
+             ckpt_out, last_out, logz_out, carry_p, carry_z) = refs
+            w_ref = bias_ref = None
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -747,9 +790,10 @@ def _make_fwd_llh_ckpt_kernel(k_steps):
         # derive it from the per-utterance lengths, a fixed (B, 1) input
         lens = len_ref[:].astype(jnp.float32)
         t0 = (pid * k_steps).astype(jnp.float32)
+        llh_blk = _llh_block(llh_ref, w_ref, bias_ref, fuse_ellh)
         for k in range(k_steps):
             m_t = (lens > t0 + k).astype(jnp.float32)
-            e_t, mllh = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            e_t, mllh = _exp_tile(_llh_tile(llh_ref, llh_blk, k), m_t)
             propagated = _dot3(p, t_hi, t_lo)
             if k == 0:
                 base = jnp.where(pid == 0, p, propagated)
@@ -775,7 +819,8 @@ def _make_fwd_llh_ckpt_kernel(k_steps):
 
 
 def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          w=None, bias=None):
     """Scaled forward emitting block-entry checkpoints instead of the
     full α̂ stream; see :func:`_make_fwd_llh_ckpt_kernel`.
 
@@ -786,9 +831,15 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
     The mask must be a contiguous prefix per row (frames [0, len_b)) —
     the framework's padded-batch invariant; the kernel reconstructs it
     from the per-row lengths so no (T, B) mask stream touches HBM.
+
+    With ``w (P, S)`` / ``bias (S,)``, ``llh_tm`` is instead the reduced
+    sufficient-statistics stream (T, B, P) and llh is computed in-kernel
+    (the fused-ELLH path; llh never exists in HBM).
     """
-    t_len, b, s = llh_tm.shape
-    k_steps = _steps_per_block(b, s)
+    fuse = w is not None
+    t_len, b, p_dim = llh_tm.shape
+    s = w.shape[1] if fuse else p_dim
+    k_steps = _steps_per_block(b, max(s, p_dim))
     t_pad = -(-t_len // k_steps) * k_steps
     llh_p = _pad_tm(llh_tm, t_pad, 0.0)
     lens = mask.astype(jnp.float32).sum(-1)[:, None]   # (B, 1)
@@ -799,15 +850,23 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
                              memory_space=pltpu.VMEM)
     fixed_small = pl.BlockSpec((1, b, 1), lambda t: (0, 0, 0),
                                memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((k_steps, b, p_dim), idx, memory_space=pltpu.VMEM),
+        const2((b, 1)),
+    ]
+    args = [llh_p, lens]
+    if fuse:
+        in_specs += [const2((p_dim, s)), const2((1, s))]
+        args += [w.astype(jnp.float32), bias.astype(jnp.float32)[None, :]]
+    in_specs += [const2((s, s)), const2((b, s))]
+    args += [trans, init_vec]
     ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel(k_steps),
+        _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh=fuse),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, s), lambda t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[big_one, fixed_one, fixed_small],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, b, s), llh_tm.dtype),
@@ -822,25 +881,60 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(llh_p, lens, trans, init_vec)
+    )(*args)
     return (ckpts, last[0], logz[0, :, 0])
 
 
-def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
+def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
+                            fuse_ellh: bool = False,
+                            fuse_acc: bool = False):
     """Fused E-step epilogue recomputing α̂ from block checkpoints.
 
     Identical math to :func:`_make_estep_kernel`, but the (K, B, S) α̂
     tile and the per-step forward norms are REGENERATED in VMEM from the
     block-entry checkpoint (same ops in the same order as the forward
     kernel ⇒ bit-identical values), so neither the α̂ stream nor the
-    norms are read from HBM.
+    norms are read from HBM.  ``fuse_ellh`` as in
+    :func:`_make_fwd_llh_ckpt_kernel`: stream reduced stats, compute
+    llh on the MXU in VMEM.
+
+    ``fuse_acc``: the (T, B, S) γ stream is replaced by its training
+    consumers, accumulated in VMEM — the emission moment Σ_t γ_tᵀstats_t
+    (S, P), the per-state counts Σ_t γ_t (1, S), and γ(t=0) (B, S) for
+    the unit prior.  γ never exists in HBM (its only dense consumer is
+    the emission einsum — fusing it deletes the γ write AND the einsum's
+    γ + stats reads; the per-block transpose-dot rides the MXU and hides
+    behind the stream, tools/exp_inkernel_acc.py).  The reduced stats
+    stream in as an extra (K, B, P) input unless ``fuse_ellh`` already
+    streams them as the main input.
     """
 
-    def kernel(llh_ref, len_ref, ckpt_ref,
-               trans_ref, trans_t_ref, final_ref, selr_ref, selc_ref,
-               gamma_out, xi_out,
-               carry_v, carry_wsel, carry_wgt, xi,
-               wsel_tile, wgt_tile, a_tile, e_tile, norm_tile):
+    def kernel(*refs):
+        i = 0
+
+        def take(n=1):
+            nonlocal i
+            out = refs[i:i + n]
+            i += n
+            return out if n > 1 else out[0]
+
+        llh_ref = take()
+        stats_ref = take() if (fuse_acc and not fuse_ellh) else None
+        len_ref = take()
+        w_ref, bias_ref = take(2) if fuse_ellh else (None, None)
+        ckpt_ref, trans_ref, trans_t_ref, final_ref = take(4)
+        selr_ref, selc_ref = take(2)
+        if fuse_acc:
+            xi_out, acc_out, cnt_out, g0_out = take(4)
+            gamma_out = None
+        else:
+            gamma_out, xi_out = take(2)
+        carry_v, carry_wsel, carry_wgt, xi = take(4)
+        wsel_tile, wgt_tile, a_tile, e_tile, norm_tile = take(5)
+        if fuse_acc:
+            g_tile, acc_scr, cnt_scr = take(3)
+        if stats_ref is None and fuse_acc:
+            stats_ref = llh_ref          # fused-ELLH: main stream IS stats
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -851,6 +945,9 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
             carry_wsel[:] = jnp.zeros_like(carry_wsel)
             carry_wgt[:] = jnp.zeros_like(carry_wgt)
             xi[:] = jnp.zeros_like(xi)
+            if fuse_acc:
+                acc_scr[:] = jnp.zeros_like(acc_scr)
+                cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
         # mask derived in-kernel from per-row lengths (prefix-mask
         # invariant) — no (K, B, 1) HBM side stream
@@ -863,9 +960,10 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
         first_time_block = pid == n_blocks - 1
         p = ckpt_ref[0].astype(jnp.float32)
         t_hi, t_lo = _split_bf16(trans_ref[:])
+        llh_blk = _llh_block(llh_ref, w_ref, bias_ref, fuse_ellh)
         for k in range(k_steps):
             m_t = (lens > t0 + k).astype(jnp.float32)
-            e_t, _ = _exp_tile(llh_ref[k].astype(jnp.float32), m_t)
+            e_t, _ = _exp_tile(_llh_tile(llh_ref, llh_blk, k), m_t)
             e_tile[k] = e_t
             propagated = _dot3(p, t_hi, t_lo)
             if k == 0:
@@ -904,7 +1002,10 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
             ab = a_t * u1
             pn = jnp.maximum(ab.sum(-1, keepdims=True), tiny)
             gamma = (ab / pn) * m_t
-            gamma_out[k] = gamma.astype(gamma_out.dtype)
+            if fuse_acc:
+                g_tile[k] = gamma
+            else:
+                gamma_out[k] = gamma.astype(gamma_out.dtype)
             v = e_t * u1
             sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
             w = v / sv
@@ -940,11 +1041,28 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int):
         xi[:] = xi_v
         xi_out[:] = xi_v.astype(xi_out.dtype)
 
+        if fuse_acc:
+            # block-level γᵀ @ stats on the MXU (transpose-dot) +
+            # per-state counts
+            g = g_tile[:].reshape(k_steps * b, -1)
+            st = stats_ref[:].astype(jnp.float32).reshape(k_steps * b, -1)
+            acc_scr[:] += jnp.dot(
+                g.T, st, preferred_element_type=jnp.float32,
+                precision=hi,
+            )
+            cnt_scr[:] += g.sum(0)[None]
+            acc_out[:] = acc_scr[:].astype(acc_out.dtype)
+            cnt_out[:] = cnt_scr[:].astype(cnt_out.dtype)
+            # constant index map ⇒ flushed once after the LAST grid step,
+            # which is time-block 0: γ(t=0) for the unit-prior counts
+            g0_out[0] = g_tile[0].astype(g0_out.dtype)
+
     return kernel
 
 
 def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
-                               sel_r, sel_c, interpret: bool = False):
+                               sel_r, sel_c, interpret: bool = False,
+                               w=None, bias=None, stats_tm=None):
     """Fused smoothing + restricted ξ from forward CHECKPOINTS.
 
     Inputs: llh_tm (T, B, S); ckpts (n_blocks, B, S) block-entry carries
@@ -952,11 +1070,24 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
     recomputed in-kernel); trans (S, S) probability-space transitions;
     final_vec (B, S); mask (B, T); sel_r/sel_c (S, n) one-hot
     selections.  Returns (γ (T, B, S), xi_raw (n_r, n_c)).
+
+    With ``w (P, S)`` / ``bias (S,)``, ``llh_tm`` is the reduced
+    sufficient-statistics stream (T, B, P) and llh is computed in-kernel
+    (must match the fused forward pass so the α̂ regeneration stays
+    bit-identical).
+
+    With ``stats_tm (T, B, P)``, the γ stream is replaced by its
+    accumulated training consumers and the return is
+    ``(xi_raw (n_r, n_c), acc (S, P), counts (S,), gamma0 (B, S))`` —
+    see :func:`_make_estep_ckpt_kernel` (``fuse_acc``).
     """
-    t_len, b, s = llh_tm.shape
+    fuse = w is not None
+    acc = stats_tm is not None
+    t_len, b, p_dim = llh_tm.shape
+    s = w.shape[1] if fuse else p_dim
     n_r, n_c = sel_r.shape[1], sel_c.shape[1]
     dtype = llh_tm.dtype
-    k_steps = _steps_per_block(b, s)
+    k_steps = _steps_per_block(b, max(s, p_dim))
     t_pad = -(-t_len // k_steps) * k_steps
     n_blocks = t_pad // k_steps
     if ckpts.shape[0] != n_blocks:
@@ -969,40 +1100,85 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
     lens = mask.astype(jnp.float32).sum(-1)[:, None]   # (B, 1)
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
     big = pl.BlockSpec((k_steps, b, s), rev, memory_space=pltpu.VMEM)
+    big_in = pl.BlockSpec((k_steps, b, p_dim), rev, memory_space=pltpu.VMEM)
     ckpt_spec = pl.BlockSpec((1, b, s), rev, memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
-    gamma, xi = pl.pallas_call(
-        _make_estep_ckpt_kernel(k_steps, n_blocks),
-        grid=(n_blocks,),
-        in_specs=[
-            big, const2((b, 1)), ckpt_spec,
-            const2((s, s)), const2((s, s)), const2((b, s)),
-            const2((s, n_r)), const2((s, n_c)),
-        ],
-        out_specs=[big, const2((n_r, n_c))],
-        out_shape=[
+    in_specs = [big_in]
+    args = [llh_p]
+    if acc and not fuse:
+        stats_p = _pad_tm(stats_tm, t_pad, 0.0)
+        acc_p = stats_tm.shape[-1]
+        in_specs.append(
+            pl.BlockSpec((k_steps, b, acc_p), rev, memory_space=pltpu.VMEM)
+        )
+        args.append(stats_p)
+    else:
+        acc_p = p_dim
+    in_specs.append(const2((b, 1)))
+    args.append(lens)
+    if fuse:
+        in_specs += [const2((p_dim, s)), const2((1, s))]
+        args += [w.astype(jnp.float32), bias.astype(jnp.float32)[None, :]]
+    in_specs += [
+        ckpt_spec,
+        const2((s, s)), const2((s, s)), const2((b, s)),
+        const2((s, n_r)), const2((s, n_c)),
+    ]
+    args += [ckpts, trans, trans.T, final_vec, sel_r, sel_c]
+    if acc:
+        out_specs = [
+            const2((n_r, n_c)), const2((s, acc_p)), const2((1, s)),
+            pl.BlockSpec((1, b, s), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((n_r, n_c), dtype),
+            jax.ShapeDtypeStruct((s, acc_p), dtype),
+            jax.ShapeDtypeStruct((1, s), dtype),
+            jax.ShapeDtypeStruct((1, b, s), dtype),
+        ]
+    else:
+        out_specs = [big, const2((n_r, n_c))]
+        out_shape = [
             jax.ShapeDtypeStruct((t_pad, b, s), dtype),
             jax.ShapeDtypeStruct((n_r, n_c), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b, s), jnp.float32),
-            pltpu.VMEM((b, n_c), jnp.float32),
-            pltpu.VMEM((b, 1), jnp.float32),
-            pltpu.VMEM((n_r, n_c), jnp.float32),
-            pltpu.VMEM((k_steps, b, n_c), jnp.float32),
-            pltpu.VMEM((k_steps, b, 1), jnp.float32),
+        ]
+    scratch = [
+        pltpu.VMEM((b, s), jnp.float32),
+        pltpu.VMEM((b, n_c), jnp.float32),
+        pltpu.VMEM((b, 1), jnp.float32),
+        pltpu.VMEM((n_r, n_c), jnp.float32),
+        pltpu.VMEM((k_steps, b, n_c), jnp.float32),
+        pltpu.VMEM((k_steps, b, 1), jnp.float32),
+        pltpu.VMEM((k_steps, b, s), jnp.float32),
+        pltpu.VMEM((k_steps, b, s), jnp.float32),
+        pltpu.VMEM((k_steps, b, 1), jnp.float32),
+    ]
+    if acc:
+        scratch += [
             pltpu.VMEM((k_steps, b, s), jnp.float32),
-            pltpu.VMEM((k_steps, b, s), jnp.float32),
-            pltpu.VMEM((k_steps, b, 1), jnp.float32),
-        ],
+            pltpu.VMEM((s, acc_p), jnp.float32),
+            pltpu.VMEM((1, s), jnp.float32),
+        ]
+    out = pl.pallas_call(
+        _make_estep_ckpt_kernel(k_steps, n_blocks, fuse_ellh=fuse,
+                                fuse_acc=acc),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(llh_p, lens, ckpts, trans, trans.T, final_vec,
-      sel_r, sel_c)
+    )(*args)
+    if acc:
+        xi, emis_acc, counts, gamma0 = out
+        return xi, emis_acc, counts[0], gamma0[0]
+    gamma, xi = out
     return gamma[:t_len], xi
 
 

@@ -390,6 +390,82 @@ def _fwd_llh_ckpt_bwd(res, ct):
 forward_llh_ckpt.defvjp(_fwd_llh_ckpt_fwd, _fwd_llh_ckpt_bwd)
 
 
+@jax.custom_vjp
+def forward_stats_ckpt(stats_tm, w, bias, trans, init_vec, mask):
+    """Fused-ELLH checkpointed forward: streams the reduced sufficient
+    statistics (T, B, P) and computes ``llh = stats @ W + bias`` on the
+    MXU inside the kernel — the (T, B, S) llh array never exists in HBM
+    (it is the scan kernels' dominant stream; docs/PERFORMANCE.md).
+    Same returns as :func:`forward_llh_ckpt`.  custom_vjp recomputes
+    through the matmul + jnp scan (SVAE ∂log Z/∂stats)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass(
+        stats_tm, trans, init_vec, mask, w=w, bias=bias,
+    )
+
+
+def _fwd_stats_ckpt_reference(stats_tm, w, bias, trans, init_vec, mask):
+    from beer_tpu.ops import pallas_scan
+
+    llh_tm = jnp.matmul(
+        stats_tm, w, precision=jax.lax.Precision.HIGHEST
+    ) + bias
+    p, norms, mllh = _fwd_llh_reference(llh_tm, trans, init_vec, mask)
+    t_len, b, p_dim = stats_tm.shape
+    s = w.shape[1]
+    k = pallas_scan._steps_per_block(b, max(s, p_dim))
+    n_blocks = -(-t_len // k)
+    entries = [jnp.broadcast_to(init_vec, (b, s)).astype(llh_tm.dtype)]
+    for g in range(1, n_blocks):
+        entries.append(p[g * k - 1])
+    logz_base = (jnp.log(norms) * mask.T).sum(0) + mllh.sum(0)
+    return jnp.stack(entries), p[-1], logz_base
+
+
+def _fwd_stats_ckpt_fwd(*args):
+    return forward_stats_ckpt(*args), args
+
+
+def _fwd_stats_ckpt_bwd(res, ct):
+    _, vjp = jax.vjp(_fwd_stats_ckpt_reference, *res)
+    return vjp(ct)
+
+
+forward_stats_ckpt.defvjp(_fwd_stats_ckpt_fwd, _fwd_stats_ckpt_bwd)
+
+
+def phone_loop_estep_ckpt_acc(llh_tm, stats_tm, ckpts, trans,
+                              final_vec, mask, sel_r, sel_c):
+    """γ-fused variant of :func:`phone_loop_estep_ckpt`: the (T, B, S)
+    γ stream is replaced by its accumulated training consumers —
+    returns (xi_raw (n_r, n_c), emission moment Σγᵀstats (S, P),
+    per-state counts (S,), γ(t=0) (B, S)).  γ never exists in HBM;
+    the per-block transpose-dot hides behind the stream
+    (tools/exp_inkernel_acc.py).  Not differentiable (stop-gradient
+    inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, final_vec, mask, sel_r, sel_c,
+        stats_tm=stats_tm,
+    )
+
+
+def phone_loop_estep_stats_ckpt(stats_tm, w, bias, ckpts, trans,
+                                final_vec, mask, sel_r, sel_c):
+    """Fused-ELLH variant of :func:`phone_loop_estep_ckpt`: streams the
+    reduced stats and regenerates llh in-kernel with the same MXU op as
+    the fused forward (bit-identical α̂ recompute).  Not differentiable
+    (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass(
+        stats_tm, ckpts, trans, final_vec, mask, sel_r, sel_c,
+        w=w, bias=bias,
+    )
+
+
 def phone_loop_estep_ckpt(llh_tm, ckpts, trans, final_vec, mask,
                           sel_r, sel_c):
     """Fused phone-loop smoothing + restricted ξ from forward

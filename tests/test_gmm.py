@@ -102,6 +102,45 @@ def test_minibatch_scaling(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10)
 
 
+def test_ellh_matrix_affine_form(rng):
+    """NormalSet.ellh_matrix: expected_log_likelihood(stats) ==
+    stats @ W + bias for the diagonal reduced-stats layout."""
+    data = make_data(rng, n=90)
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(data.mean(0)), jnp.asarray(np.cov(data.T)),
+        size=5, cov_type="diagonal", noise_std=1.0,
+        key=jax.random.PRNGKey(1),
+    )
+    stats = nset.sufficient_statistics(jnp.asarray(data))
+    w, bias = nset.ellh_matrix()
+    affine = stats @ w + bias
+    ref = nset.expected_log_likelihood(stats)
+    np.testing.assert_allclose(np.asarray(affine), np.asarray(ref),
+                               rtol=1e-10, atol=1e-10)
+
+
+def test_accumulate_from_moments_matches_accumulate(rng):
+    """NormalSet.accumulate_from_moments(Σ resps⊗stats, Σ resps) ==
+    accumulate(stats, resps) — the γ-fused kernel's contract."""
+    data = make_data(rng, n=90)
+    nset = beer_tpu.NormalSet.create(
+        jnp.asarray(data.mean(0)), jnp.asarray(np.cov(data.T)),
+        size=5, cov_type="diagonal", noise_std=1.0,
+        key=jax.random.PRNGKey(1),
+    )
+    stats = nset.sufficient_statistics(jnp.asarray(data))
+    resps = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(len(data), 5))), axis=-1
+    )
+    ref = nset.accumulate(stats, resps)
+    acc2 = jnp.einsum("tk,tp->kp", resps, stats,
+                      precision=jax.lax.Precision.HIGHEST)
+    got = nset.accumulate_from_moments(acc2, resps.sum(0))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-12)
+
+
 def test_recovers_clusters(rng):
     data = make_data(rng, n=600)
     gmm = make_gmm(data, ncomp=3, cov_type="full", key=3)

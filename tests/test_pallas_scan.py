@@ -238,3 +238,144 @@ def test_fused_estep_ckpt_matches_reference(rng):
         np.asarray(xi_raw), np.asarray(ref[1]), rtol=2e-4, atol=1e-5,
         err_msg="xi_raw",
     )
+
+
+def test_stats_fused_ckpt_matches_llh_variant(rng):
+    """fused-ELLH ckpt kernels (stats streamed, llh computed in-kernel)
+    == the llh-input ckpt kernels given llh = stats @ W + bias."""
+    b, t_len, n_units, spu, p_dim = 3, 17, 4, 3, 7
+    s = n_units * spu
+    lt, _, lf = random_hmm_params(rng, s, dtype=np.float32)
+    stats = rng.normal(size=(b, t_len, p_dim)).astype(np.float32)
+    w = rng.normal(size=(p_dim, s)).astype(np.float32)
+    bias = rng.normal(size=(s,)).astype(np.float32)
+    lengths = [t_len, 9, 1]
+    mask = np.zeros((b, t_len), np.float32)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    mask = jnp.asarray(mask)
+    stats_tm = jnp.swapaxes(jnp.asarray(stats), 0, 1)
+    llh_tm = jnp.matmul(
+        stats_tm, jnp.asarray(w), precision=jax.lax.Precision.HIGHEST
+    ) + jnp.asarray(bias)
+    trans = jnp.exp(jnp.asarray(lt))
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(jnp.asarray(lf)), (b, s)).astype(jnp.float32)
+
+    c_ref, last_ref, z_ref = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, mask, interpret=True
+    )
+    c, last, z = pallas_scan.forward_llh_ckpt_pass(
+        stats_tm, trans, iv, mask, interpret=True,
+        w=jnp.asarray(w), bias=jnp.asarray(bias),
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-4)
+
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+    g_ref, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c_ref, trans, fv, mask, sel_r, sel_c, interpret=True,
+    )
+    g, xi = pallas_scan.phone_loop_estep_ckpt_pass(
+        stats_tm, c, trans, fv, mask, sel_r, sel_c, interpret=True,
+        w=jnp.asarray(w), bias=jnp.asarray(bias),
+    )
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_estep_ckpt_acc_matches_gamma_variant(rng):
+    """γ-fused estep kernel (in-kernel Σγᵀstats / counts / γ(t=0)) ==
+    the γ-emitting kernel followed by the XLA einsum."""
+    b, t_len, n_units, spu, p_dim = 3, 17, 4, 3, 7
+    s = n_units * spu
+    lt, _, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    stats = rng.normal(size=(b, t_len, p_dim)).astype(np.float32)
+    lengths = [t_len, 9, 1]
+    mask = np.zeros((b, t_len), np.float32)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    mask = jnp.asarray(mask)
+    llh_tm = jnp.swapaxes(jnp.asarray(llh), 0, 1)
+    stats_tm = jnp.swapaxes(jnp.asarray(stats), 0, 1)
+    trans = jnp.exp(jnp.asarray(lt))
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(jnp.asarray(lf)), (b, s)).astype(jnp.float32)
+    ckpts, _, _ = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, mask, interpret=True
+    )
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+    g_ref, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, fv, mask, sel_r, sel_c, interpret=True,
+    )
+    xi, emis_acc, counts, gamma0 = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, fv, mask, sel_r, sel_c, interpret=True,
+        stats_tm=stats_tm,
+    )
+    acc_ref = jnp.einsum("tbs,tbp->sp", g_ref, stats_tm,
+                         precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                               rtol=1e-5, atol=1e-6, err_msg="xi")
+    np.testing.assert_allclose(np.asarray(emis_acc), np.asarray(acc_ref),
+                               rtol=1e-4, atol=1e-5, err_msg="acc")
+    np.testing.assert_allclose(
+        np.asarray(counts), np.asarray(g_ref.sum((0, 1))),
+        rtol=1e-4, atol=1e-5, err_msg="counts",
+    )
+    np.testing.assert_allclose(
+        np.asarray(gamma0), np.asarray(g_ref[0]),
+        rtol=1e-5, atol=1e-6, err_msg="gamma0",
+    )
+
+
+def test_forward_stats_ckpt_grad_flows(rng, monkeypatch):
+    """∂log Z/∂stats through the custom_vjp of forward_stats_ckpt
+    matches the all-jnp composition (SVAE gradient path)."""
+    import functools
+
+    monkeypatch.setattr(
+        pallas_scan, "forward_llh_ckpt_pass",
+        functools.partial(pallas_scan.forward_llh_ckpt_pass,
+                          interpret=True),
+    )
+    b, t_len, s, p_dim = 2, 11, 4, 3
+    lt, _, lf = random_hmm_params(rng, s, dtype=np.float32)
+    stats = jnp.asarray(rng.normal(size=(t_len, b, p_dim)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(p_dim, s)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(s,)).astype(np.float32))
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < np.array([[t_len], [6]])).astype(np.float32)
+    )
+    trans = jnp.exp(jnp.asarray(lt))
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(jnp.asarray(lf)), (b, s)).astype(jnp.float32)
+
+    def logz_pallas(st):
+        ck, last, zb = semiring_scan.forward_stats_ckpt(
+            st, w, bias, trans, iv, mask
+        )
+        return (zb + jnp.log((last * fv).sum(-1))).sum()
+
+    def logz_ref(st):
+        ck, last, zb = semiring_scan._fwd_stats_ckpt_reference(
+            st, w, bias, trans, iv, mask
+        )
+        return (zb + jnp.log((last * fv).sum(-1))).sum()
+
+    g_pal = jax.grad(logz_pallas)(stats)
+    g_ref = jax.grad(logz_ref)(stats)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
