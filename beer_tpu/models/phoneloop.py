@@ -188,11 +188,32 @@ class PhoneLoop(DiscreteLatentModel):
             # (tools/exp_latency_vs_stream.py; forward_stats_ckpt keeps
             # the fused-ELLH variant for larger S/P ratios)
             stats_tm = jnp.swapaxes(stats, 0, 1)
-            llh_tm = self.modelset.expected_log_likelihood(stats_tm)
-            t_len, b, s = llh_tm.shape
+            t_len, b = stats_tm.shape[:2]
+            s = self.n_states
+            dt = stats_tm.dtype
             if mask is None:
-                mask = jnp.ones((b, t_len), llh_tm.dtype)
+                mask = jnp.ones((b, t_len), dt)
+            # pad time ONCE, on the (cheaper) stats array, so neither
+            # scan pass re-pads the llh stream (each per-pass _pad_tm is
+            # a full-array HBM copy, ~0.75 ms at the bench shape); the
+            # pad fuses into the ELLH matmul below
+            t_pad = semiring_scan.scan_time_pad(t_len, b, s)
+            if t_pad != t_len:
+                stats_tm = jnp.concatenate([
+                    stats_tm,
+                    jnp.zeros((t_pad - t_len,) + stats_tm.shape[1:], dt),
+                ], axis=0)
+                mask = jnp.concatenate([
+                    mask, jnp.zeros((b, t_pad - t_len), mask.dtype)
+                ], axis=1)
+            llh_tm = self.modelset.expected_log_likelihood(stats_tm)
             tiny = jnp.finfo(llh_tm.dtype).tiny
+            # the phone-loop transition is band + rank-1: the banded
+            # kernels replace the per-step dense (S, S) MXU matmul with
+            # five VPU passes, 2.3× faster per chain step (the chain is
+            # the kernels' cost — docs/PERFORMANCE.md); the dense matrix
+            # feeds only the custom_vjp recompute
+            bands = self._structured_trans(llh_tm.dtype)
             trans = jnp.exp(graph.log_trans)
             init_vec = jnp.broadcast_to(
                 jnp.exp(jnp.maximum(graph.log_init, LOG_ZERO)), (b, s)
@@ -200,8 +221,8 @@ class PhoneLoop(DiscreteLatentModel):
             final_vec = jnp.broadcast_to(
                 jnp.exp(jnp.maximum(graph.log_final, LOG_ZERO)), (b, s)
             ).astype(llh_tm.dtype)
-            ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt(
-                llh_tm, trans, init_vec, mask
+            ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt_banded(
+                llh_tm, bands, trans, init_vec, mask
             )
             log_z = logz_base + jnp.log(
                 jnp.maximum((a_last * final_vec).sum(-1), tiny)
@@ -210,6 +231,7 @@ class PhoneLoop(DiscreteLatentModel):
             return log_z, {
                 "fused": True,
                 "llh_tm": llh_tm,
+                "bands": bands,
                 "ckpts": ckpts,
                 "stats_tm": stats_tm,
                 "mask": mask,
@@ -291,9 +313,9 @@ class PhoneLoop(DiscreteLatentModel):
         dt = cache["llh_tm"].dtype
         sel_r = jax.nn.one_hot(self._ends, s, dtype=dt).T      # (S, U)
         sel_c = jax.nn.one_hot(self._starts, s, dtype=dt).T    # (S, U)
-        gamma_tm, xi_raw = semiring_scan.phone_loop_estep_ckpt(
-            sg(cache["llh_tm"]), sg(cache["ckpts"]),
-            sg(jnp.exp(graph.log_trans)), sg(cache["final_vec"]),
+        gamma_tm, xi_raw = semiring_scan.phone_loop_estep_ckpt_banded(
+            sg(cache["llh_tm"]), sg(cache["bands"]), sg(cache["ckpts"]),
+            sg(cache["final_vec"]),
             sg(cache["mask"]), sel_r, sel_c,
         )
         stats_tm = cache["stats_tm"]

@@ -634,6 +634,42 @@ def _exp_tile(llh_t, m_t):
     return e, mx * m_t
 
 
+def _block_masks(len_ref, t0, k_steps, shift=0):
+    """(K, B, 1) prefix masks for absolute steps t0+shift … t0+shift+K−1,
+    derived from the (B, 1) per-utterance lengths — vectorized over the
+    whole block, OUT of the serial recursion chain."""
+    lens = len_ref[:].astype(jnp.float32)              # (B, 1)
+    ks = jax.lax.broadcasted_iota(
+        jnp.int32, (k_steps, 1, 1), 0
+    ).astype(jnp.float32)                              # tpu.iota is int-only
+    return (lens[None] > t0 + shift + ks).astype(jnp.float32)
+
+
+def _dot2_sel(x, sel):
+    """x @ sel for a 0/1 one-hot selection matrix in TWO bf16 MXU
+    passes: sel is exact in bf16, so only x needs the hi/lo split —
+    result = x_hi·sel + x_lo·sel reconstructs x to ~22 mantissa bits
+    (vs 6 passes for Precision.HIGHEST; selection matmuls are the
+    banded smoothing kernel's main MXU cost)."""
+    x_hi, x_lo = _split_bf16(x)
+    sel_b = sel.astype(jnp.bfloat16)
+    return (
+        jnp.dot(x_hi, sel_b, preferred_element_type=jnp.float32)
+        + jnp.dot(x_lo, sel_b, preferred_element_type=jnp.float32)
+    )
+
+
+def _exp_block(llh_all, m_all):
+    """Vectorized :func:`_exp_tile` over a (K, B, S) block.  The scaled
+    likelihoods don't depend on the recursion carry — computing them for
+    the whole block up front removes the exp/rowmax/mask ops from the
+    per-step dependency chain (the chain is the kernel's cost: the
+    stream runs at ~775 GB/s, docs/PERFORMANCE.md)."""
+    mx = jnp.max(llh_all, axis=-1, keepdims=True)
+    e = m_all * jnp.exp(llh_all - mx) + (1.0 - m_all)
+    return e, mx * m_all
+
+
 def _llh_block(x_ref, w_ref, bias_ref, fuse_ellh):
     """Whole-block llh (K, B, S) — or None when llh streams directly.
 
@@ -746,7 +782,34 @@ def forward_llh_pass(llh_tm, trans, init_vec, mask, interpret: bool = False):
     return (probs[:t_len], norms[:t_len, :, 0], mllh[:t_len, :, 0])
 
 
-def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False):
+def _band_propagators(band_ref):
+    """(forward, backward) step propagators from a (4, S) band stack
+    ``[a_self, a_adv, exit, w]`` (see ``PhoneLoop._structured_trans``):
+
+        fwd:  (pA)[j]  = p[j]·a_self[j] + p[j−1]·a_adv[j−1] + (p·exit)·w[j]
+        bwd:  (Av̂)[i] = v̂[i]·a_self[i] + v̂[i+1]·a_adv[i] + (v̂·w)·exit[i]
+
+    Five exact-f32 VPU passes instead of a (B, S) @ (S, S) 3-bf16-pass
+    MXU matmul — measured 2.3× faster per step at the bench shape
+    (tools/exp_fwd_pieces.py: banded 0.74 ms vs dense 1.68 ms), because
+    the serial recursion chain, not the stream, is the kernels' cost."""
+    tb = band_ref[:].astype(jnp.float32)
+    a_self, a_adv = tb[0:1], tb[1:2]
+    exit_v, w_v = tb[2:3], tb[3:4]
+
+    def fwd(p):
+        q = (p * exit_v).sum(-1, keepdims=True)
+        return p * a_self + _shift_right(p * a_adv) + q * w_v
+
+    def bwd(v_hat):
+        r = (v_hat * w_v).sum(-1, keepdims=True)
+        return v_hat * a_self + _shift_left(v_hat) * a_adv + r * exit_v
+
+    return fwd, bwd
+
+
+def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
+                              banded: bool = False):
     """Forward recursion that writes only block-entry CHECKPOINTS.
 
     The (T, B, S) α̂ stream is the forward pass's dominant HBM traffic
@@ -782,35 +845,43 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False):
             carry_z[:] = jnp.zeros_like(carry_z)
 
         p = carry_p[:]
-        z = carry_z[:]                               # (B, 1) Σ log c + mllh
         ckpt_out[0] = p.astype(ckpt_out.dtype)       # block-entry carry
-        t_hi, t_lo = _split_bf16(trans_ref[:])
+        if banded:
+            propagate, _ = _band_propagators(trans_ref)
+        else:
+            t_hi, t_lo = _split_bf16(trans_ref[:])
+            propagate = lambda q: _dot3(q, t_hi, t_lo)
         # the mask never streams from HBM: each (K, B, 1) side stream
         # costs ~0.4 ms at the bench shape (tools/exp_small_specs.py) —
         # derive it from the per-utterance lengths, a fixed (B, 1) input
-        lens = len_ref[:].astype(jnp.float32)
         t0 = (pid * k_steps).astype(jnp.float32)
+        # whole-block prologue — everything that doesn't consume the
+        # carry is hoisted out of the serial chain (masks, scaled
+        # likelihoods); the chain keeps only {matmul, ⊙e, Σ, ÷, blend}
+        m_all = _block_masks(len_ref, t0, k_steps)
         llh_blk = _llh_block(llh_ref, w_ref, bias_ref, fuse_ellh)
+        llh_all = llh_blk if fuse_ellh else llh_ref[:].astype(jnp.float32)
+        e_all, mllh_all = _exp_block(llh_all, m_all)
+        norms = []
         for k in range(k_steps):
-            m_t = (lens > t0 + k).astype(jnp.float32)
-            e_t, mllh = _exp_tile(_llh_tile(llh_ref, llh_blk, k), m_t)
-            propagated = _dot3(p, t_hi, t_lo)
+            propagated = propagate(p)
             if k == 0:
                 base = jnp.where(pid == 0, p, propagated)
             else:
                 base = propagated
-            raw = base * e_t
+            raw = base * e_all[k]
             norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
             new_p = raw / norm
-            keep = m_t
+            keep = m_all[k]
             if k == 0:
                 keep = jnp.where(pid == 0, 1.0, keep)
             p = keep * new_p + (1.0 - keep) * p
-            # per-step norms never reach HBM: log Z only needs their
-            # running log-sum (+ the rowmax shifts), a (B, 1) carry —
-            # the smoothing kernel regenerates the per-step values
-            z = z + keep * jnp.log(norm) + mllh
+            norms.append(keep * norm + (1.0 - keep))
         carry_p[:] = p
+        # per-step norms never reach HBM: log Z only needs their log-sum
+        # (+ the rowmax shifts), a (B, 1) carry — and masked norms are 1,
+        # so the log/sum runs vectorized AFTER the chain
+        z = carry_z[:] + jnp.log(jnp.stack(norms)).sum(0) + mllh_all.sum(0)
         carry_z[:] = z
         last_out[0] = p.astype(last_out.dtype)
         logz_out[0] = z.astype(logz_out.dtype)
@@ -820,7 +891,7 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False):
 
 def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
                           interpret: bool = False,
-                          w=None, bias=None):
+                          w=None, bias=None, bands=None):
     """Scaled forward emitting block-entry checkpoints instead of the
     full α̂ stream; see :func:`_make_fwd_llh_ckpt_kernel`.
 
@@ -835,6 +906,11 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
     With ``w (P, S)`` / ``bias (S,)``, ``llh_tm`` is instead the reduced
     sufficient-statistics stream (T, B, P) and llh is computed in-kernel
     (the fused-ELLH path; llh never exists in HBM).
+
+    With ``bands`` (a (4, S) stack ``[a_self, a_adv, exit, w]``), the
+    per-step transition product runs banded + rank-1 on the VPU instead
+    of the dense (S, S) MXU matmul (:func:`_band_propagators`); ``trans``
+    is ignored.
     """
     fuse = w is not None
     t_len, b, p_dim = llh_tm.shape
@@ -861,10 +937,15 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
     if fuse:
         in_specs += [const2((p_dim, s)), const2((1, s))]
         args += [w.astype(jnp.float32), bias.astype(jnp.float32)[None, :]]
-    in_specs += [const2((s, s)), const2((b, s))]
-    args += [trans, init_vec]
+    if bands is not None:
+        in_specs += [const2((4, s)), const2((b, s))]
+        args += [jnp.stack(list(bands)).astype(jnp.float32), init_vec]
+    else:
+        in_specs += [const2((s, s)), const2((b, s))]
+        args += [trans, init_vec]
     ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh=fuse),
+        _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh=fuse,
+                                  banded=bands is not None),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[big_one, fixed_one, fixed_small],
@@ -887,7 +968,8 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
 
 def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
                             fuse_ellh: bool = False,
-                            fuse_acc: bool = False):
+                            fuse_acc: bool = False,
+                            banded: bool = False):
     """Fused E-step epilogue recomputing α̂ from block checkpoints.
 
     Identical math to :func:`_make_estep_kernel`, but the (K, B, S) α̂
@@ -907,6 +989,11 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
     behind the stream, tools/exp_inkernel_acc.py).  The reduced stats
     stream in as an extra (K, B, P) input unless ``fuse_ellh`` already
     streams them as the main input.
+
+    ``banded``: the trans/trans_t inputs are each the (4, S) band stack
+    and both chains use the VPU band + rank-1 propagators
+    (:func:`_band_propagators`) — must match the forward kernel so the
+    α̂ regeneration stays bit-identical.
     """
 
     def kernel(*refs):
@@ -930,9 +1017,8 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
         else:
             gamma_out, xi_out = take(2)
         carry_v, carry_wsel, carry_wgt, xi = take(4)
-        wsel_tile, wgt_tile, a_tile, e_tile, norm_tile = take(5)
         if fuse_acc:
-            g_tile, acc_scr, cnt_scr = take(3)
+            acc_scr, cnt_scr = take(2)
         if stats_ref is None and fuse_acc:
             stats_ref = llh_ref          # fused-ELLH: main stream IS stats
         pid = pl.program_id(0)
@@ -949,82 +1035,91 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
                 acc_scr[:] = jnp.zeros_like(acc_scr)
                 cnt_scr[:] = jnp.zeros_like(cnt_scr)
 
-        # mask derived in-kernel from per-row lengths (prefix-mask
-        # invariant) — no (K, B, 1) HBM side stream
-        lens = len_ref[:].astype(jnp.float32)
+        # ---- whole-block prologue (carry-independent, OUT of both
+        # serial chains): prefix masks at t and t+1 from the (B, 1)
+        # lengths, scaled likelihoods for every step
         t0 = ((n_blocks - 1 - pid) * k_steps).astype(jnp.float32)
-
-        # ---- recompute phase: regenerate this block's α̂/e/norm tiles
-        # from the entry checkpoint (reverse grid: time-block 0 is the
-        # LAST grid step)
         first_time_block = pid == n_blocks - 1
-        p = ckpt_ref[0].astype(jnp.float32)
-        t_hi, t_lo = _split_bf16(trans_ref[:])
+        m_all = _block_masks(len_ref, t0, k_steps)
+        mn_all = _block_masks(len_ref, t0, k_steps, shift=1)
         llh_blk = _llh_block(llh_ref, w_ref, bias_ref, fuse_ellh)
+        llh_all = llh_blk if fuse_ellh else llh_ref[:].astype(jnp.float32)
+        e_all, _ = _exp_block(llh_all, m_all)
+
+        # ---- recompute chain: α̂ tiles from the entry checkpoint (same
+        # ops in the same order as the forward kernel ⇒ bit-identical;
+        # reverse grid — time-block 0 is the LAST grid step)
+        p = ckpt_ref[0].astype(jnp.float32)
+        if banded:
+            propagate, _ = _band_propagators(trans_ref)
+        else:
+            t_hi, t_lo = _split_bf16(trans_ref[:])
+            propagate = lambda q: _dot3(q, t_hi, t_lo)
+        a_list, norm_list = [], []
         for k in range(k_steps):
-            m_t = (lens > t0 + k).astype(jnp.float32)
-            e_t, _ = _exp_tile(_llh_tile(llh_ref, llh_blk, k), m_t)
-            e_tile[k] = e_t
-            propagated = _dot3(p, t_hi, t_lo)
+            propagated = propagate(p)
             if k == 0:
                 base = jnp.where(first_time_block, p, propagated)
             else:
                 base = propagated
-            raw = base * e_t
+            raw = base * e_all[k]
             norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
             new_p = raw / norm
-            keep = m_t
+            keep = m_all[k]
             if k == 0:
                 keep = jnp.where(first_time_block, 1.0, keep)
             p = keep * new_p + (1.0 - keep) * p
-            a_tile[k] = p
-            norm_tile[k] = keep * norm + (1.0 - keep)
+            a_list.append(p)
+            norm_list.append(keep * norm + (1.0 - keep))
 
-        # ---- backward smoothing phase (as _make_estep_kernel, with the
-        # α̂/e/norm tiles read from VMEM scratch and the masks at t and
-        # t+1 derived from the lengths)
+        # ---- backward chain: the v-space recursion ONLY — γ, ŵ, and
+        # the ξ pair-weights don't feed the carry, so they are derived
+        # from the stored u1 tiles in the vectorized epilogue below
         v_hat = carry_v[:]
         prev_wsel = carry_wsel[:]
         prev_wgt = carry_wgt[:]
-        tt_hi, tt_lo = _split_bf16(trans_t_ref[:])
+        if banded:
+            _, propagate_t = _band_propagators(trans_t_ref)
+        else:
+            tt_hi, tt_lo = _split_bf16(trans_t_ref[:])
+            propagate_t = lambda q: _dot3(q, tt_hi, tt_lo)
         final = final_ref[:].astype(jnp.float32)
-        sel_c = selc_ref[:]
         hi = jax.lax.Precision.HIGHEST
         b = v_hat.shape[0]
+        is_last_all = m_all * (1.0 - mn_all)
+        u1_list = [None] * k_steps
         for k in range(k_steps - 1, -1, -1):
-            m_t = (lens > t0 + k).astype(jnp.float32)
-            mn_t = (lens > t0 + k + 1).astype(jnp.float32)
-            is_last = m_t * (1.0 - mn_t)
-            e_t = e_tile[k]
-            a_t = a_tile[k]
-            u1 = _dot3(v_hat, tt_hi, tt_lo)
-            u1 = is_last * final + (1.0 - is_last) * u1
-            ab = a_t * u1
-            pn = jnp.maximum(ab.sum(-1, keepdims=True), tiny)
-            gamma = (ab / pn) * m_t
-            if fuse_acc:
-                g_tile[k] = gamma
-            else:
-                gamma_out[k] = gamma.astype(gamma_out.dtype)
-            v = e_t * u1
+            u1 = propagate_t(v_hat)
+            u1 = is_last_all[k] * final + (1.0 - is_last_all[k]) * u1
+            u1_list[k] = u1
+            v = e_all[k] * u1
             sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
-            w = v / sv
-            wsel_tile[k] = jnp.dot(w, sel_c,
-                                   preferred_element_type=jnp.float32,
-                                   precision=hi)
-            denom = norm_tile[k] * ab.sum(-1, keepdims=True) / sv
-            wgt_tile[k] = jnp.where(denom > 1e-30,
-                                    m_t / jnp.maximum(denom, 1e-30), 0.0)
-            v_hat = m_t * w + (1.0 - m_t) * v_hat
+            v_hat = m_all[k] * (v / sv) + (1.0 - m_all[k]) * v_hat
         carry_v[:] = v_hat
 
-        u_sel_all = jnp.dot(
-            a_tile[:].reshape(k_steps * b, -1),
-            selr_ref[:],
-            preferred_element_type=jnp.float32, precision=hi,
+        # ---- vectorized epilogue: smoothing quantities for the whole
+        # block at once (identical arithmetic to the old per-step forms)
+        a_all = jnp.stack(a_list)                       # (K, B, S)
+        norm_all = jnp.stack(norm_list)                 # (K, B, 1)
+        u1_all = jnp.stack(u1_list)                     # (K, B, S)
+        ab_all = a_all * u1_all
+        absum_all = ab_all.sum(-1, keepdims=True)
+        gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_all
+        v_all = e_all * u1_all
+        sv_all = jnp.maximum(v_all.sum(-1, keepdims=True), tiny)
+        w_all = v_all / sv_all
+        wsel_all = _dot2_sel(
+            w_all.reshape(k_steps * b, -1), selc_ref[:]
+        ).reshape(k_steps, b, -1)                       # (K, B, C)
+        denom_all = norm_all * absum_all / sv_all
+        wgt_all = jnp.where(denom_all > 1e-30,
+                            m_all / jnp.maximum(denom_all, 1e-30), 0.0)
+        if not fuse_acc:
+            gamma_out[:] = gamma_all.astype(gamma_out.dtype)
+
+        u_sel_all = _dot2_sel(
+            a_all.reshape(k_steps * b, -1), selr_ref[:]
         ).reshape(k_steps, b, -1)                          # (K, B, R)
-        wsel_all = wsel_tile[:]
-        wgt_all = wgt_tile[:]
         uw_in = (u_sel_all[:-1] * wgt_all[1:]).reshape((k_steps - 1) * b, -1)
         xi_v = xi[:] + jax.lax.dot_general(
             uw_in, wsel_all[1:].reshape((k_steps - 1) * b, -1),
@@ -1044,7 +1139,7 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
         if fuse_acc:
             # block-level γᵀ @ stats on the MXU (transpose-dot) +
             # per-state counts
-            g = g_tile[:].reshape(k_steps * b, -1)
+            g = gamma_all.reshape(k_steps * b, -1)
             st = stats_ref[:].astype(jnp.float32).reshape(k_steps * b, -1)
             acc_scr[:] += jnp.dot(
                 g.T, st, preferred_element_type=jnp.float32,
@@ -1055,14 +1150,15 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
             cnt_out[:] = cnt_scr[:].astype(cnt_out.dtype)
             # constant index map ⇒ flushed once after the LAST grid step,
             # which is time-block 0: γ(t=0) for the unit-prior counts
-            g0_out[0] = g_tile[0].astype(g0_out.dtype)
+            g0_out[0] = gamma_all[0].astype(g0_out.dtype)
 
     return kernel
 
 
 def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
                                sel_r, sel_c, interpret: bool = False,
-                               w=None, bias=None, stats_tm=None):
+                               w=None, bias=None, stats_tm=None,
+                               bands=None):
     """Fused smoothing + restricted ξ from forward CHECKPOINTS.
 
     Inputs: llh_tm (T, B, S); ckpts (n_blocks, B, S) block-entry carries
@@ -1121,12 +1217,21 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
     if fuse:
         in_specs += [const2((p_dim, s)), const2((1, s))]
         args += [w.astype(jnp.float32), bias.astype(jnp.float32)[None, :]]
-    in_specs += [
-        ckpt_spec,
-        const2((s, s)), const2((s, s)), const2((b, s)),
-        const2((s, n_r)), const2((s, n_c)),
-    ]
-    args += [ckpts, trans, trans.T, final_vec, sel_r, sel_c]
+    if bands is not None:
+        band_arr = jnp.stack(list(bands)).astype(jnp.float32)
+        in_specs += [
+            ckpt_spec,
+            const2((4, s)), const2((4, s)), const2((b, s)),
+            const2((s, n_r)), const2((s, n_c)),
+        ]
+        args += [ckpts, band_arr, band_arr, final_vec, sel_r, sel_c]
+    else:
+        in_specs += [
+            ckpt_spec,
+            const2((s, s)), const2((s, s)), const2((b, s)),
+            const2((s, n_r)), const2((s, n_c)),
+        ]
+        args += [ckpts, trans, trans.T, final_vec, sel_r, sel_c]
     if acc:
         out_specs = [
             const2((n_r, n_c)), const2((s, acc_p)), const2((1, s)),
@@ -1150,21 +1255,15 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
         pltpu.VMEM((b, n_c), jnp.float32),
         pltpu.VMEM((b, 1), jnp.float32),
         pltpu.VMEM((n_r, n_c), jnp.float32),
-        pltpu.VMEM((k_steps, b, n_c), jnp.float32),
-        pltpu.VMEM((k_steps, b, 1), jnp.float32),
-        pltpu.VMEM((k_steps, b, s), jnp.float32),
-        pltpu.VMEM((k_steps, b, s), jnp.float32),
-        pltpu.VMEM((k_steps, b, 1), jnp.float32),
     ]
     if acc:
         scratch += [
-            pltpu.VMEM((k_steps, b, s), jnp.float32),
             pltpu.VMEM((s, acc_p), jnp.float32),
             pltpu.VMEM((1, s), jnp.float32),
         ]
     out = pl.pallas_call(
         _make_estep_ckpt_kernel(k_steps, n_blocks, fuse_ellh=fuse,
-                                fuse_acc=acc),
+                                fuse_acc=acc, banded=bands is not None),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -351,6 +351,19 @@ def _fwd_llh_bwd(res, ct):
 forward_llh.defvjp(_fwd_llh_fwd, _fwd_llh_bwd)
 
 
+def scan_time_pad(t_len: int, b: int, s: int) -> int:
+    """The padded time length the fused scan kernels use at this block
+    shape.  Callers that pre-pad their (T, B, ·) streams (and mask) to
+    this length make the per-pass ``_pad_tm`` a no-op — otherwise EACH
+    kernel pass pays a full-array pad copy (~0.75 ms per pass at the
+    bench shape; the pad is cheapest fused into the ELLH matmul's stats
+    input, see PhoneLoop.infer)."""
+    from beer_tpu.ops import pallas_scan
+
+    k = pallas_scan._steps_per_block(b, s)
+    return -(-t_len // k) * k
+
+
 @jax.custom_vjp
 def forward_llh_ckpt(llh_tm, trans, init_vec, mask):
     """Pallas scaled forward emitting block-entry CHECKPOINTS instead of
@@ -388,6 +401,54 @@ def _fwd_llh_ckpt_bwd(res, ct):
 
 
 forward_llh_ckpt.defvjp(_fwd_llh_ckpt_fwd, _fwd_llh_ckpt_bwd)
+
+
+@jax.custom_vjp
+def forward_llh_ckpt_banded(llh_tm, bands, trans, init_vec, mask):
+    """:func:`forward_llh_ckpt` with the phone-loop band + rank-1
+    transition structure (``bands = (a_self, a_adv, exit, w)``, each
+    (S,)) — the per-step product runs on the VPU, measured 2.3× faster
+    than the dense (S, S) MXU step (docs/PERFORMANCE.md).  ``trans``
+    (the equivalent dense matrix) feeds only the custom_vjp recompute;
+    the vjp is ∂/∂llh (SVAE) — the transition-structure cotangent is
+    zero by construction (conjugate transition updates are closed-form,
+    never autograd)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, None, init_vec, mask, bands=bands,
+    )
+
+
+def _fwd_llh_ckpt_banded_fwd(*args):
+    return forward_llh_ckpt_banded(*args), args
+
+
+def _fwd_llh_ckpt_banded_bwd(res, ct):
+    llh_tm, bands, trans, init_vec, mask = res
+    _, vjp = jax.vjp(_fwd_llh_ckpt_reference, llh_tm, trans, init_vec, mask)
+    d_llh, d_trans, d_init, d_mask = vjp(ct)
+    return (d_llh, jax.tree.map(jnp.zeros_like, bands), d_trans,
+            d_init, d_mask)
+
+
+forward_llh_ckpt_banded.defvjp(_fwd_llh_ckpt_banded_fwd,
+                               _fwd_llh_ckpt_banded_bwd)
+
+
+def phone_loop_estep_ckpt_banded(llh_tm, bands, ckpts, final_vec, mask,
+                                 sel_r, sel_c):
+    """Banded variant of :func:`phone_loop_estep_ckpt` — both in-kernel
+    chains (α̂ recompute + v-space backward) use the band + rank-1
+    propagators, matching :func:`forward_llh_ckpt_banded` so the α̂
+    regeneration stays bit-identical.  Not differentiable (stop-gradient
+    inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, None, final_vec, mask, sel_r, sel_c,
+        bands=bands,
+    )
 
 
 @jax.custom_vjp

@@ -293,6 +293,62 @@ def test_stats_fused_ckpt_matches_llh_variant(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_banded_ckpt_matches_dense(rng):
+    """Banded ckpt kernels (band + rank-1 VPU propagators) == the dense
+    ckpt kernels on a phone-loop-structured transition matrix."""
+    b, t_len, n_units, spu = 3, 17, 4, 3
+    s = n_units * spu
+    ids = np.arange(s)
+    a_self = np.full(s, 0.6, np.float32)
+    a_adv = np.where(ids % spu != spu - 1, 0.4, 0.0).astype(np.float32)
+    exit_v = np.zeros(s, np.float32)
+    exit_v[ids % spu == spu - 1] = 0.2
+    w_v = np.zeros(s, np.float32)
+    w_raw = rng.random(n_units).astype(np.float32)
+    w_v[ids % spu == 0] = w_raw / w_raw.sum()
+    bands = tuple(jnp.asarray(v) for v in (a_self, a_adv, exit_v, w_v))
+    trans = semiring_scan.bands_to_dense(bands)
+
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = [t_len, 9, 1]
+    mask = np.zeros((b, t_len), np.float32)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    mask = jnp.asarray(mask)
+    llh_tm = jnp.swapaxes(jnp.asarray(llh), 0, 1)
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.asarray(exit_v), (b, s)).astype(jnp.float32)
+
+    c_ref, last_ref, z_ref = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, mask, interpret=True
+    )
+    c, last, z = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, None, iv, mask, interpret=True, bands=bands
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-4)
+
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+    g_ref, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c_ref, trans, fv, mask, sel_r, sel_c, interpret=True,
+    )
+    g, xi = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c, None, fv, mask, sel_r, sel_c, interpret=True,
+        bands=bands,
+    )
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_estep_ckpt_acc_matches_gamma_variant(rng):
     """γ-fused estep kernel (in-kernel Σγᵀstats / counts / γ(t=0)) ==
     the γ-emitting kernel followed by the XLA einsum."""

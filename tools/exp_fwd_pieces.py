@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from beer_tpu.ops import pallas_scan
-from beer_tpu.ops.pallas_scan import _split_bf16, _dot3, _exp_tile
+from beer_tpu.ops.pallas_scan import (_split_bf16, _dot3, _exp_tile,
+                                      _shift_right)
 
 B, T, S = 512, 500, 150
 K = 8
@@ -33,9 +34,10 @@ def build(mode):
     t_pad = -(-T // K) * K
     n_blocks = t_pad // K
     idx = lambda t: (t, 0, 0)
-    use_exp = mode in ("+exp", "+logz", "+ckpt", "full")
-    use_logz = mode in ("+logz", "+ckpt", "full")
-    use_ckpt = mode in ("+ckpt", "full")
+    use_exp = mode in ("+exp", "+logz", "+ckpt", "full", "banded")
+    use_logz = mode in ("+logz", "+ckpt", "full", "banded")
+    use_ckpt = mode in ("+ckpt", "full", "banded")
+    use_band = mode == "banded"
 
     def kernel(*refs):
         x_ref, len_ref, trans_ref = refs[:3]
@@ -62,6 +64,11 @@ def build(mode):
         if use_ckpt:
             ckpt_out[0] = p.astype(ckpt_out.dtype)
         t_hi, t_lo = _split_bf16(trans_ref[:])
+        if use_band:
+            a_self = trans_ref[0:1, :]
+            a_adv = trans_ref[1:2, :]
+            exit_v = trans_ref[2:3, :]
+            w_v = trans_ref[3:4, :]
         lens = len_ref[:].astype(jnp.float32)
         t0 = (pid * K).astype(jnp.float32)
         for k in range(K):
@@ -72,7 +79,12 @@ def build(mode):
             else:
                 e = jnp.exp(x - x.max(-1, keepdims=True))
                 m_t = None
-            raw = _dot3(p, t_hi, t_lo) * e
+            if use_band:
+                q = (p * exit_v).sum(-1, keepdims=True)
+                prop = p * a_self + _shift_right(p * a_adv) + q * w_v
+            else:
+                prop = _dot3(p, t_hi, t_lo)
+            raw = prop * e
             norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
             new_p = raw / norm
             if use_exp:
@@ -177,7 +189,7 @@ def main():
     lens = jnp.asarray(lengths)[:, None]
     trans = jnp.asarray(np.abs(rng.normal(size=(S, S))).astype(np.float32))
     trans = trans / trans.sum(-1, keepdims=True)
-    for mode in ("base", "+exp", "+logz", "+ckpt", "full"):
+    for mode in ("full", "banded"):
         dt = timeit(build(mode), (x, lens, trans))
         print(f"{mode}: {dt*1e3:.3f} ms", flush=True)
     dt = timeit(prod, (x, lens, trans))
