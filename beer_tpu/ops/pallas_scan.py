@@ -1046,49 +1046,50 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
         llh_all = llh_blk if fuse_ellh else llh_ref[:].astype(jnp.float32)
         e_all, _ = _exp_block(llh_all, m_all)
 
-        # ---- recompute chain: α̂ tiles from the entry checkpoint (same
-        # ops in the same order as the forward kernel ⇒ bit-identical;
-        # reverse grid — time-block 0 is the LAST grid step)
+        # ---- the two serial chains, INTERLEAVED: the α̂ recompute
+        # (time ascending, from the entry checkpoint; same ops in the
+        # same order as the forward kernel ⇒ bit-identical) and the
+        # v-space backward recursion (time descending, from the carry)
+        # are independent within a block — a_list feeds only the
+        # epilogue — so iteration j advances both, giving the scheduler
+        # two independent dependency chains to overlap (~2-way ILP on
+        # the chain latency)
         p = ckpt_ref[0].astype(jnp.float32)
-        if banded:
-            propagate, _ = _band_propagators(trans_ref)
-        else:
-            t_hi, t_lo = _split_bf16(trans_ref[:])
-            propagate = lambda q: _dot3(q, t_hi, t_lo)
-        a_list, norm_list = [], []
-        for k in range(k_steps):
-            propagated = propagate(p)
-            if k == 0:
-                base = jnp.where(first_time_block, p, propagated)
-            else:
-                base = propagated
-            raw = base * e_all[k]
-            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
-            new_p = raw / norm
-            keep = m_all[k]
-            if k == 0:
-                keep = jnp.where(first_time_block, 1.0, keep)
-            p = keep * new_p + (1.0 - keep) * p
-            a_list.append(p)
-            norm_list.append(keep * norm + (1.0 - keep))
-
-        # ---- backward chain: the v-space recursion ONLY — γ, ŵ, and
-        # the ξ pair-weights don't feed the carry, so they are derived
-        # from the stored u1 tiles in the vectorized epilogue below
         v_hat = carry_v[:]
         prev_wsel = carry_wsel[:]
         prev_wgt = carry_wgt[:]
         if banded:
+            propagate, _ = _band_propagators(trans_ref)
             _, propagate_t = _band_propagators(trans_t_ref)
         else:
+            t_hi, t_lo = _split_bf16(trans_ref[:])
+            propagate = lambda q: _dot3(q, t_hi, t_lo)
             tt_hi, tt_lo = _split_bf16(trans_t_ref[:])
             propagate_t = lambda q: _dot3(q, tt_hi, tt_lo)
         final = final_ref[:].astype(jnp.float32)
         hi = jax.lax.Precision.HIGHEST
         b = v_hat.shape[0]
         is_last_all = m_all * (1.0 - mn_all)
+        a_list, norm_list = [], []
         u1_list = [None] * k_steps
-        for k in range(k_steps - 1, -1, -1):
+        for j in range(k_steps):
+            # forward-recompute step k = j
+            propagated = propagate(p)
+            if j == 0:
+                base = jnp.where(first_time_block, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_all[j]
+            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+            new_p = raw / norm
+            keep = m_all[j]
+            if j == 0:
+                keep = jnp.where(first_time_block, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            a_list.append(p)
+            norm_list.append(keep * norm + (1.0 - keep))
+            # backward step k = K−1−j
+            k = k_steps - 1 - j
             u1 = propagate_t(v_hat)
             u1 = is_last_all[k] * final + (1.0 - is_last_all[k]) * u1
             u1_list[k] = u1

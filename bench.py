@@ -49,16 +49,31 @@ def make_data(b=None, t=None, d=None):
     return data, mask
 
 
-def _time_epochs(train_epochs, model, x, m, outer, frames_per_epoch, inner):
-    """Compile + warm up, then time `outer` calls fetching to host."""
-    model2, elbo = train_epochs(model, x, m)
-    float(elbo)
-    t0 = time.time()
-    for _ in range(outer):
-        model2, elbo = train_epochs(model, x, m)
-        float(elbo)
-    dt = time.time() - t0
-    return frames_per_epoch * outer * inner / dt, float(elbo)
+def _time_epochs(make_epochs, model, x, m, outer, frames_per_epoch, inner):
+    """True device time via the SLOPE between two chained-epoch counts.
+
+    Each host fetch through the axon tunnel costs ~28 ms; timing one
+    inner-count alone folds that into every call (historically a ~25%
+    understatement at inner=20).  Timing calls at `inner` and at
+    `inner // 4` chained epochs and taking the slope cancels the
+    per-call constant exactly (same method as
+    tools/profile_phoneloop.py).  ``make_epochs(n)`` returns the jitted
+    n-epoch trainer."""
+    n_small = max(1, inner // 4)
+
+    def run(fn):
+        m2, elbo = fn(model, x, m)
+        float(elbo)                       # compile + warm
+        t0 = time.time()
+        for _ in range(outer):
+            m2, elbo = fn(model, x, m)
+            float(elbo)
+        return (time.time() - t0) / outer, float(elbo)
+
+    t_big, elbo = run(make_epochs(inner))
+    t_small, _ = run(make_epochs(n_small))
+    dt_epoch = (t_big - t_small) / (inner - n_small)
+    return frames_per_epoch / dt_epoch, elbo
 
 
 # ----------------------------------------------------------------------
@@ -83,16 +98,18 @@ def bench_phone_loop(data, mask, outer=4, inner=20):
     # round-trip latency is amortized over real training work.  Timing
     # fetches the final ELBO to host each call — block_until_ready alone
     # does not round-trip the axon tunnel and yields absurd numbers.
-    @jax.jit
-    def train_epochs(model, x, mask):
-        def body(model, _):
-            elbo, model = vb_step(model, x, mask=mask)
-            return model, elbo
-        model, elbos = jax.lax.scan(body, model, None, length=inner)
-        return model, elbos[-1]
+    def make_epochs(n):
+        @jax.jit
+        def train_epochs(model, x, mask):
+            def body(model, _):
+                elbo, model = vb_step(model, x, mask=mask)
+                return model, elbo
+            model, elbos = jax.lax.scan(body, model, None, length=n)
+            return model, elbos[-1]
+        return train_epochs
 
     return _time_epochs(
-        train_epochs, loop, x, m, outer, float(mask.sum()), inner
+        make_epochs, loop, x, m, outer, float(mask.sum()), inner
     )
 
 
@@ -184,16 +201,18 @@ def bench_gmm(data, outer=4, inner=10):
     gmm = beer_tpu.Mixture.create(nset)
     x = jnp.asarray(flat)
 
-    @jax.jit
-    def train_epochs(model, x, _unused):
-        def body(model, _):
-            elbo, model = vb_step(model, x)
-            return model, elbo
-        model, elbos = jax.lax.scan(body, model, None, length=inner)
-        return model, elbos[-1]
+    def make_epochs(n):
+        @jax.jit
+        def train_epochs(model, x, _unused):
+            def body(model, _):
+                elbo, model = vb_step(model, x)
+                return model, elbo
+            model, elbos = jax.lax.scan(body, model, None, length=n)
+            return model, elbos[-1]
+        return train_epochs
 
     return _time_epochs(
-        train_epochs, gmm, x, None, outer, float(flat.shape[0]), inner
+        make_epochs, gmm, x, None, outer, float(flat.shape[0]), inner
     )
 
 
@@ -248,16 +267,18 @@ def bench_hmm(data, mask, outer=4, inner=20):
     hmm = HMM.create(g, nset, learn_transitions=True)
     x, m = jnp.asarray(data), jnp.asarray(mask)
 
-    @jax.jit
-    def train_epochs(model, x, mask):
-        def body(model, _):
-            elbo, model = vb_step(model, x, mask=mask)
-            return model, elbo
-        model, elbos = jax.lax.scan(body, model, None, length=inner)
-        return model, elbos[-1]
+    def make_epochs(n):
+        @jax.jit
+        def train_epochs(model, x, mask):
+            def body(model, _):
+                elbo, model = vb_step(model, x, mask=mask)
+                return model, elbo
+            model, elbos = jax.lax.scan(body, model, None, length=n)
+            return model, elbos[-1]
+        return train_epochs
 
     return _time_epochs(
-        train_epochs, hmm, x, m, outer, float(mask.sum()), inner
+        make_epochs, hmm, x, m, outer, float(mask.sum()), inner
     )
 
 
@@ -304,16 +325,18 @@ def bench_recognizer(outer=4, inner=10):
     hmm = HMM.create(graphs, nset)
     x, m = jnp.asarray(data), jnp.asarray(mask)
 
-    @jax.jit
-    def train_epochs(model, x, mask):
-        def body(model, _):
-            elbo, model = vb_step(model, x, mask=mask)
-            return model, elbo
-        model, elbos = jax.lax.scan(body, model, None, length=inner)
-        return model, elbos[-1]
+    def make_epochs(n):
+        @jax.jit
+        def train_epochs(model, x, mask):
+            def body(model, _):
+                elbo, model = vb_step(model, x, mask=mask)
+                return model, elbo
+            model, elbos = jax.lax.scan(body, model, None, length=n)
+            return model, elbos[-1]
+        return train_epochs
 
     tput, elbo = _time_epochs(
-        train_epochs, hmm, x, m, outer, float(mask.sum()), inner
+        make_epochs, hmm, x, m, outer, float(mask.sum()), inner
     )
     return tput, elbo, data, mask, graphs
 
