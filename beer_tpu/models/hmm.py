@@ -111,9 +111,67 @@ class HMM(DiscreteLatentModel):
         per_pdf = self.modelset.expected_log_likelihood(stats)  # (B, T, n_pdfs)
         return self.graph.expand_llh(per_pdf)
 
+    def _fused_estep_ok(self) -> bool:
+        """Checkpointed fused E-step kernels (full (S, S) ξ variant):
+        TPU + one shared graph (per-utterance graphs fall back to the
+        batched general path)."""
+        from beer_tpu.ops import pallas_scan
+
+        return (
+            pallas_scan.available()
+            and self.graph.log_trans.ndim == 2
+            and self.graph.pdf_ids.ndim == 1
+        )
+
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
-        llh_states = self._state_llh(stats)
         log_trans = self._effective_log_trans()
+        if self._fused_estep_ok():
+            # same checkpointed scan pipeline as PhoneLoop.infer, with
+            # full-ξ smoothing in accumulate (hmm_estep_ckpt); pad time
+            # ONCE on the per-pdf llh so neither pass re-pads
+            per_pdf_tm = jnp.swapaxes(
+                self.modelset.expected_log_likelihood(stats), 0, 1
+            )                                            # (T, B, P)
+            t_len, b = per_pdf_tm.shape[:2]
+            s = self.graph.n_states
+            dt = per_pdf_tm.dtype
+            if mask is None:
+                mask = jnp.ones((b, t_len), dt)
+            t_pad = semiring_scan.scan_time_pad(t_len, b, s)
+            if t_pad != t_len:
+                per_pdf_tm = jnp.concatenate([
+                    per_pdf_tm,
+                    jnp.zeros((t_pad - t_len,) + per_pdf_tm.shape[1:], dt),
+                ], axis=0)
+                mask = jnp.concatenate([
+                    mask, jnp.zeros((b, t_pad - t_len), mask.dtype)
+                ], axis=1)
+            llh_tm = self.graph.expand_llh(per_pdf_tm)   # (T', B, S)
+            tiny = jnp.finfo(dt).tiny
+            trans = jnp.exp(log_trans)
+            init_vec = jnp.broadcast_to(
+                jnp.exp(jnp.maximum(self.graph.log_init, LOG_ZERO)), (b, s)
+            ).astype(dt)
+            final_vec = jnp.broadcast_to(
+                jnp.exp(jnp.maximum(self.graph.log_final, LOG_ZERO)), (b, s)
+            ).astype(dt)
+            ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt(
+                llh_tm, trans, init_vec, mask
+            )
+            log_z = logz_base + jnp.log(
+                jnp.maximum((a_last * final_vec).sum(-1), tiny)
+            )
+            log_z = log_z * (mask.sum(-1) > 0)
+            # "ckpts" in cache discriminates the fused path — key
+            # presence is static under jit, a True leaf would be traced
+            return log_z, {
+                "llh_tm": llh_tm,
+                "ckpts": ckpts,
+                "mask": mask,
+                "final_vec": final_vec,
+                "log_trans": log_trans,
+            }
+        llh_states = self._state_llh(stats)
         fb = semiring_scan.forward_backward_probs(
             llh_states,
             log_trans,
@@ -133,7 +191,53 @@ class HMM(DiscreteLatentModel):
             "log_trans": log_trans,
         }
 
+    def _accumulate_fused(self, stats: jnp.ndarray, cache) -> Dict[str, Any]:
+        """Full-ξ checkpointed kernel: γ + Σ_t weight·α̂⊗ŵ in one pass
+        (no α̂/β̂/w streams); transition counts = xi_raw ⊙ exp(log A)."""
+        sg = jax.lax.stop_gradient
+        gamma_tm, xi_raw = semiring_scan.hmm_estep_ckpt(
+            sg(cache["llh_tm"]), sg(cache["ckpts"]),
+            sg(jnp.exp(cache["log_trans"])), sg(cache["final_vec"]),
+            sg(cache["mask"]),
+        )
+        t_pad, b, s = gamma_tm.shape
+        identity_pdfs = False
+        if self.graph.n_pdfs == s:
+            try:                     # concrete (non-traced) pdf_ids only
+                import numpy as _np
+
+                identity_pdfs = bool(
+                    (_np.asarray(self.graph.pdf_ids) == _np.arange(s)).all()
+                )
+            except Exception:
+                identity_pdfs = False
+        if identity_pdfs:
+            pdf_post = gamma_tm                    # identity pdf map
+        else:
+            one_hot = jax.nn.one_hot(
+                self.graph.pdf_ids, self.graph.n_pdfs, dtype=gamma_tm.dtype
+            )
+            pdf_post = jnp.einsum(
+                "tbs,sp->tbp", gamma_tm, one_hot,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        flat_resps = pdf_post.reshape(-1, self.graph.n_pdfs)
+        stats_tm = jnp.swapaxes(stats, 0, 1)
+        if stats_tm.shape[0] != t_pad:             # mirror infer's pad
+            stats_tm = jnp.concatenate([
+                stats_tm,
+                jnp.zeros((t_pad - stats_tm.shape[0],) + stats_tm.shape[1:],
+                          stats_tm.dtype),
+            ], axis=0)
+        flat_stats = stats_tm.reshape((-1,) + stats_tm.shape[2:])
+        acc = {"modelset": self.modelset.accumulate(flat_stats, flat_resps)}
+        if self.trans_alpha_post is not None:
+            acc["trans"] = xi_raw * jnp.exp(sg(cache["log_trans"]))
+        return acc
+
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
+        if "ckpts" in cache:
+            return self._accumulate_fused(stats, cache)
         post = cache["posteriors"]  # (B, T, S)
         # state → pdf posteriors (states sharing a pdf sum together)
         one_hot = jax.nn.one_hot(self.graph.pdf_ids, self.graph.n_pdfs, dtype=post.dtype)
@@ -176,10 +280,39 @@ class HMM(DiscreteLatentModel):
         return [["modelset"], ["trans_alpha_post"]]
 
     # ------------------------------------------------------------------
+    def posteriors(self, data: jnp.ndarray,
+                   mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Per-frame state occupancies γ (B, T, S).
+
+        Diagnostic entry point (reference `DiscreteLatentModel.posteriors`)
+        — always runs the general scan path, which returns γ directly;
+        the fused TPU path defers γ to the accumulate-side kernel."""
+        stats = self.sufficient_statistics(data)
+        fb = semiring_scan.forward_backward_probs(
+            self._state_llh(stats),
+            self._effective_log_trans(),
+            self.graph.log_init,
+            self.graph.log_final,
+            mask,
+        )
+        return fb.posteriors
+
     def expected_transition_counts(self, cache: Dict[str, Any]) -> jnp.ndarray:
         """E[#transitions i→j] summed over the batch, (S, S)."""
+        if "ckpts" in cache:  # fused cache: run the full-ξ epilogue kernel
+            sg = jax.lax.stop_gradient
+            _, xi_raw = semiring_scan.hmm_estep_ckpt(
+                sg(cache["llh_tm"]), sg(cache["ckpts"]),
+                sg(jnp.exp(cache["log_trans"])), sg(cache["final_vec"]),
+                sg(cache["mask"]),
+            )
+            return xi_raw * jnp.exp(sg(cache["log_trans"]))
+        # use the cache's effective log-trans (includes the learned
+        # Dirichlet posterior when learn_transitions=True) — ξ must be
+        # computed under the same matrix that produced the fb cache
         return semiring_scan.expected_transition_counts_probs(
-            cache["fb"], self.graph.log_trans, cache["mask"],
+            cache["fb"], cache.get("log_trans", self.graph.log_trans),
+            cache["mask"],
         )
 
     def decode(self, data: jnp.ndarray, mask: Optional[jnp.ndarray] = None):

@@ -228,8 +228,9 @@ class PhoneLoop(DiscreteLatentModel):
                 jnp.maximum((a_last * final_vec).sum(-1), tiny)
             )
             log_z = log_z * (mask.sum(-1) > 0)
+            # "ckpts" in cache discriminates the fused path (static
+            # under jit; a True leaf would be traced)
             return log_z, {
-                "fused": True,
                 "llh_tm": llh_tm,
                 "bands": bands,
                 "ckpts": ckpts,
@@ -284,7 +285,7 @@ class PhoneLoop(DiscreteLatentModel):
         return loop_counts + init_counts
 
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
-        if cache.get("fused"):
+        if "ckpts" in cache:
             return self._accumulate_fused(stats, cache)
         post = cache["posteriors"]  # (B, T, S); pdf_ids are the identity here
         flat_resps = post.reshape(-1, self.n_states)

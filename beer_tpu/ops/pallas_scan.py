@@ -969,7 +969,8 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
 def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
                             fuse_ellh: bool = False,
                             fuse_acc: bool = False,
-                            banded: bool = False):
+                            banded: bool = False,
+                            full_xi: bool = False):
     """Fused E-step epilogue recomputing α̂ from block checkpoints.
 
     Identical math to :func:`_make_estep_kernel`, but the (K, B, S) α̂
@@ -1010,7 +1011,7 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
         len_ref = take()
         w_ref, bias_ref = take(2) if fuse_ellh else (None, None)
         ckpt_ref, trans_ref, trans_t_ref, final_ref = take(4)
-        selr_ref, selc_ref = take(2)
+        selr_ref, selc_ref = (None, None) if full_xi else take(2)
         if fuse_acc:
             xi_out, acc_out, cnt_out, g0_out = take(4)
             gamma_out = None
@@ -1109,18 +1110,25 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
         v_all = e_all * u1_all
         sv_all = jnp.maximum(v_all.sum(-1, keepdims=True), tiny)
         w_all = v_all / sv_all
-        wsel_all = _dot2_sel(
-            w_all.reshape(k_steps * b, -1), selc_ref[:]
-        ).reshape(k_steps, b, -1)                       # (K, B, C)
+        if full_xi:
+            # identity selections: the ξ factors ARE the carries
+            wsel_all = w_all
+        else:
+            wsel_all = _dot2_sel(
+                w_all.reshape(k_steps * b, -1), selc_ref[:]
+            ).reshape(k_steps, b, -1)                   # (K, B, C)
         denom_all = norm_all * absum_all / sv_all
         wgt_all = jnp.where(denom_all > 1e-30,
                             m_all / jnp.maximum(denom_all, 1e-30), 0.0)
         if not fuse_acc:
             gamma_out[:] = gamma_all.astype(gamma_out.dtype)
 
-        u_sel_all = _dot2_sel(
-            a_all.reshape(k_steps * b, -1), selr_ref[:]
-        ).reshape(k_steps, b, -1)                          # (K, B, R)
+        if full_xi:
+            u_sel_all = a_all
+        else:
+            u_sel_all = _dot2_sel(
+                a_all.reshape(k_steps * b, -1), selr_ref[:]
+            ).reshape(k_steps, b, -1)                      # (K, B, R)
         uw_in = (u_sel_all[:-1] * wgt_all[1:]).reshape((k_steps - 1) * b, -1)
         xi_v = xi[:] + jax.lax.dot_general(
             uw_in, wsel_all[1:].reshape((k_steps - 1) * b, -1),
@@ -1180,9 +1188,10 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
     """
     fuse = w is not None
     acc = stats_tm is not None
+    full_xi = sel_r is None
     t_len, b, p_dim = llh_tm.shape
     s = w.shape[1] if fuse else p_dim
-    n_r, n_c = sel_r.shape[1], sel_c.shape[1]
+    n_r, n_c = (s, s) if full_xi else (sel_r.shape[1], sel_c.shape[1])
     dtype = llh_tm.dtype
     k_steps = _steps_per_block(b, max(s, p_dim))
     t_pad = -(-t_len // k_steps) * k_steps
@@ -1220,19 +1229,16 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
         args += [w.astype(jnp.float32), bias.astype(jnp.float32)[None, :]]
     if bands is not None:
         band_arr = jnp.stack(list(bands)).astype(jnp.float32)
-        in_specs += [
-            ckpt_spec,
-            const2((4, s)), const2((4, s)), const2((b, s)),
-            const2((s, n_r)), const2((s, n_c)),
-        ]
-        args += [ckpts, band_arr, band_arr, final_vec, sel_r, sel_c]
+        in_specs += [ckpt_spec, const2((4, s)), const2((4, s)),
+                     const2((b, s))]
+        args += [ckpts, band_arr, band_arr, final_vec]
     else:
-        in_specs += [
-            ckpt_spec,
-            const2((s, s)), const2((s, s)), const2((b, s)),
-            const2((s, n_r)), const2((s, n_c)),
-        ]
-        args += [ckpts, trans, trans.T, final_vec, sel_r, sel_c]
+        in_specs += [ckpt_spec, const2((s, s)), const2((s, s)),
+                     const2((b, s))]
+        args += [ckpts, trans, trans.T, final_vec]
+    if not full_xi:
+        in_specs += [const2((s, n_r)), const2((s, n_c))]
+        args += [sel_r, sel_c]
     if acc:
         out_specs = [
             const2((n_r, n_c)), const2((s, acc_p)), const2((1, s)),
@@ -1264,7 +1270,8 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
         ]
     out = pl.pallas_call(
         _make_estep_ckpt_kernel(k_steps, n_blocks, fuse_ellh=fuse,
-                                fuse_acc=acc, banded=bands is not None),
+                                fuse_acc=acc, banded=bands is not None,
+                                full_xi=full_xi),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_specs,

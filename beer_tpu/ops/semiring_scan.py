@@ -436,6 +436,22 @@ forward_llh_ckpt_banded.defvjp(_fwd_llh_ckpt_banded_fwd,
                                _fwd_llh_ckpt_banded_bwd)
 
 
+def hmm_estep_ckpt(llh_tm, ckpts, trans, final_vec, mask):
+    """Checkpointed fused E-step for a GENERAL shared-graph HMM: like
+    :func:`phone_loop_estep_ckpt` but with FULL (S, S) ξ — identity
+    selections make the selection matmuls vanish, so the kernel directly
+    accumulates Σ_t weight_t · α̂_t ⊗ ŵ_{t+1}.  Returns
+    (γ (T, B, S), xi_raw (S, S)); transition counts =
+    ``xi_raw * exp(log_trans)`` (the same outer-times-arc form as
+    :func:`expected_transition_counts_probs`).  Not differentiable
+    (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, final_vec, mask, None, None,
+    )
+
+
 def phone_loop_estep_ckpt_banded(llh_tm, bands, ckpts, final_vec, mask,
                                  sel_r, sel_c):
     """Banded variant of :func:`phone_loop_estep_ckpt` — both in-kernel

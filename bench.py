@@ -1,6 +1,6 @@
 """Benchmark: VB E-step throughput (the BASELINE primary metric).
 
-Covers BASELINE configs 1-4 (BASELINE.md "Measurement protocol"):
+Covers all five BASELINE configs (BASELINE.md "Measurement protocol"):
 
 * config 1 — Bayesian GMM VB-EM (full covariance, K components),
 * config 2 — plain Bayesian HMM E-step (shared ergodic graph),
@@ -8,7 +8,9 @@ Covers BASELINE configs 1-4 (BASELINE.md "Measurement protocol"):
   graphs, MixtureSet emissions),
 * config 4 — phone-loop AUD E-step (the headline metric): sufficient
   statistics → ELLH → forward-backward → accumulation on a realistic
-  AUD shape (39-dim MFCC+Δ+Δ², 50 units × 3 states).
+  AUD shape (39-dim MFCC+Δ+Δ², 50 units × 3 states),
+* config 5 — structured sequence VAE (phone-loop latent prior): the
+  hybrid reparameterization + conjugate natural-step update.
 
 Numerator: beer_tpu jitted steps on the default JAX device (the TPU
 chip under the driver).  Denominator: the same algorithm in CPU PyTorch
@@ -366,6 +368,135 @@ def torch_recognizer(data, mask, n_utts=8):
 
 
 # ----------------------------------------------------------------------
+# config 5: structured sequence VAE (hybrid reparam + conjugate step)
+# ----------------------------------------------------------------------
+SVAE_DZ, SVAE_H = 16, 128
+SVAE_UNITS, SVAE_SPU = 10, 3
+SVAE_B, SVAE_T = 256, 250
+
+
+def bench_svae(data, mask, outer=4, inner=10):
+    """BASELINE config 5: SequenceVAE with a phone-loop latent prior —
+    optax Adam on encoder/decoder + conjugate natural step on the prior
+    in ONE jitted hybrid update (SURVEY.md §3.4)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import beer_tpu
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.models.vae import SequenceVAE, make_vae_train_step
+
+    s = SVAE_UNITS * SVAE_SPU
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(SVAE_DZ), jnp.ones(SVAE_DZ), size=s, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(7),
+    )
+    loop = PhoneLoop.create(SVAE_UNITS, SVAE_SPU, nset)
+    svae = SequenceVAE.create(
+        obs_dim=D, latent_dim=SVAE_DZ, latent_model=loop,
+        hidden=(SVAE_H, SVAE_H), nsamples=1, key=jax.random.PRNGKey(8),
+    )
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(svae.nnet_params)
+    step_fn = make_vae_train_step(tx)
+
+    x = jnp.asarray(data[:SVAE_B, :SVAE_T])
+    m = jnp.asarray(mask[:SVAE_B, :SVAE_T])
+
+    def make_epochs(n):
+        @jax.jit
+        def train_epochs(model, x, mask):
+            def body(carry, _):
+                vae, opt_state, key = carry
+                key, sub = jax.random.split(key)
+                elbo, vae, opt_state = step_fn(vae, opt_state, x, sub, mask)
+                return (vae, opt_state, key), elbo
+            vae, opt_state = model
+            (vae, opt_state, _), elbos = jax.lax.scan(
+                body, (vae, opt_state, jax.random.PRNGKey(99)), None,
+                length=n,
+            )
+            return (vae, opt_state), elbos[-1]
+        return train_epochs
+
+    return _time_epochs(
+        make_epochs, (svae, opt_state), x, m, outer, float(np.asarray(m).sum()),
+        inner,
+    )
+
+
+def torch_svae(data, mask, n_utts=2):
+    """Reference SVAE step in CPU torch (SURVEY.md §3.4): encoder MLP →
+    rsample → per-utterance sequential forward for the phone-loop prior
+    llh → decoder MLP → one `elbo.backward()` + Adam step."""
+    import torch
+
+    s = SVAE_UNITS * SVAE_SPU
+    torch.manual_seed(0)
+    enc = torch.nn.Sequential(
+        torch.nn.Linear(D, SVAE_H), torch.nn.Tanh(),
+        torch.nn.Linear(SVAE_H, SVAE_H), torch.nn.Tanh(),
+        torch.nn.Linear(SVAE_H, 2 * SVAE_DZ),
+    )
+    dec = torch.nn.Sequential(
+        torch.nn.Linear(SVAE_DZ, SVAE_H), torch.nn.Tanh(),
+        torch.nn.Linear(SVAE_H, SVAE_H), torch.nn.Tanh(),
+        torch.nn.Linear(SVAE_H, 2 * D),
+    )
+    opt = torch.optim.Adam(
+        list(enc.parameters()) + list(dec.parameters()), lr=1e-3
+    )
+    rng = np.random.default_rng(7)
+    e_lam = np.abs(rng.normal(1.0, 0.1, size=(s, SVAE_DZ)))
+    e_mu = rng.normal(size=(s, SVAE_DZ))
+    e_stats = torch.tensor(np.concatenate(
+        [e_lam, e_lam * e_mu, e_lam * e_mu**2, np.log(e_lam)], axis=1
+    ).astype(np.float32))
+    lt = torch.full((s, s), -1e30)
+    for u in range(SVAE_UNITS):
+        for i in range(SVAE_SPU):
+            st = u * SVAE_SPU + i
+            lt[st, st] = np.log(0.5)
+            if i + 1 < SVAE_SPU:
+                lt[st, st + 1] = np.log(0.5)
+    starts = torch.arange(SVAE_UNITS) * SVAE_SPU
+    ends = starts + SVAE_SPU - 1
+    lt[ends[:, None], starts[None, :]] = np.log(0.25 / SVAE_UNITS)
+    li = torch.full((s,), -1e30); li[starts] = -float(np.log(SVAE_UNITS))
+
+    total_frames, t0 = 0, time.time()
+    for b in range(n_utts):
+        ln = int(mask[b, :SVAE_T].sum())
+        x = torch.tensor(data[b, :ln])
+        opt.zero_grad()
+        q = enc(x)
+        mu, log_var = q[:, :SVAE_DZ], q[:, SVAE_DZ:]
+        z = mu + torch.exp(0.5 * log_var) * torch.randn_like(mu)
+        zstats = torch.cat(
+            [-0.5 * z**2, z, -0.5 * torch.ones_like(z),
+             0.5 * torch.ones_like(z)], dim=1,
+        )
+        llh = zstats @ e_stats.T
+        log_alpha = li + llh[0]
+        for t in range(1, ln):        # the reference's sequential prior
+            log_alpha = llh[t] + torch.logsumexp(
+                log_alpha[:, None] + lt, dim=0
+            )
+        prior = torch.logsumexp(log_alpha, dim=0)
+        out = dec(z)
+        dmu, dlog_var = out[:, :D], out[:, D:]
+        rec = (-0.5 * ((x - dmu) ** 2) * torch.exp(-dlog_var)
+               - 0.5 * dlog_var).sum()
+        entropy = 0.5 * log_var.sum()
+        elbo = rec + prior + entropy
+        (-elbo).backward()            # nnet grads AND (reference) stats
+        opt.step()
+        total_frames += ln
+    return total_frames / (time.time() - t0)
+
+
+# ----------------------------------------------------------------------
 # flops/frame estimates (for the MFU figure; multiply-add = 2 flops)
 # ----------------------------------------------------------------------
 def flops_per_frame(config):
@@ -377,6 +508,12 @@ def flops_per_frame(config):
     if config == "recognizer":
         s = 6 * REC_SPP
         return 2 * (4 * D) * (REC_PHONES * REC_SPP) * 2 + 8 * s * s
+    if config == "svae":
+        s = SVAE_UNITS * SVAE_SPU
+        mlp = 2 * (D * SVAE_H + SVAE_H * SVAE_H + SVAE_H * 2 * SVAE_DZ) \
+            + 2 * (SVAE_DZ * SVAE_H + SVAE_H * SVAE_H + SVAE_H * 2 * D)
+        # fwd + bwd ≈ 3× fwd; + prior scan + conjugate stats/accumulate
+        return 3 * mlp + 8 * s * s + 2 * (4 * SVAE_DZ) * s * 2
     # phone loop: ELLH + accumulate (2·4D·S each) + fwd/bwd/ξ (8·S²)
     return 2 * (4 * D) * S * 2 + 8 * S * S
 
@@ -394,7 +531,7 @@ def entry(config, value, baseline):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="gmm,hmm,recognizer,phone_loop",
+    ap.add_argument("--configs", default="gmm,hmm,recognizer,svae,phone_loop",
                     help="comma list of configs to run")
     args = ap.parse_args()
     wanted = set(args.configs.split(","))
@@ -402,16 +539,29 @@ def main():
     data, mask = make_data()
     configs = {}
 
-    if "gmm" in wanted:
-        v, _ = bench_gmm(data)
-        configs["gmm"] = entry("gmm", v, torch_gmm(data))
-    if "hmm" in wanted:
-        v, _ = bench_hmm(data, mask)
-        configs["hmm"] = entry("hmm", v, torch_hmm(data, mask))
-    if "recognizer" in wanted:
-        v, _, rdata, rmask, graphs = bench_recognizer()
-        base = torch_recognizer(rdata, rmask)
-        configs["recognizer"] = entry("recognizer", v, base)
+    def run_config(name, fn):
+        # one config's failure must not take down the headline metric
+        if name not in wanted:
+            return
+        try:
+            configs[name] = fn()
+        except Exception as e:  # noqa: BLE001 — report and continue
+            print(f"# {name}: FAILED ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+            configs[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    run_config("gmm", lambda: entry("gmm", bench_gmm(data)[0],
+                                    torch_gmm(data)))
+    run_config("hmm", lambda: entry("hmm", bench_hmm(data, mask)[0],
+                                    torch_hmm(data, mask)))
+
+    def _recognizer():
+        v, _, rdata, rmask, _graphs = bench_recognizer()
+        return entry("recognizer", v, torch_recognizer(rdata, rmask))
+
+    run_config("recognizer", _recognizer)
+    run_config("svae", lambda: entry("svae", bench_svae(data, mask)[0],
+                                     torch_svae(data, mask)))
 
     value, elbo = bench_phone_loop(data, mask)
     baseline = torch_phone_loop(data, mask)
@@ -430,6 +580,8 @@ def main():
     }
     print(json.dumps(result))
     for name, c in configs.items():
+        if "error" in c:
+            continue
         print(
             f"# {name}: {c['value']:,.0f} frames/s | {c['vs_baseline']}x "
             f"torch-cpu | ~{c['mfu_pct_of_bf16_peak_est']}% bf16-peak MFU",

@@ -466,3 +466,25 @@ def test_probs_path_extreme_llh_finite(rng):
     ))
     assert np.isfinite(xi).all() and (xi >= 0).all()
     np.testing.assert_allclose(xi.sum(), (mask[:, 1:]).sum(), rtol=1e-4)
+
+
+def test_hmm_posteriors_entry_point(rng):
+    """`DiscreteLatentModel.posteriors` analogue on HMM: per-frame state
+    occupancies, rows sum to 1, match the infer cache's general path."""
+    t_len, s, b = 12, 3, 2
+    data = rng.normal(size=(b, t_len, 1)).astype(np.float32)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(1), jnp.eye(1), size=s, cov_type="full",
+        noise_std=1.0, key=jax.random.PRNGKey(3),
+    )
+    hmm = HMM.create(graph_mod.left_to_right(s).compile(), nset)
+    mask = np.ones((b, t_len), np.float32)
+    mask[1, 7:] = 0
+    post = np.asarray(hmm.posteriors(jnp.asarray(data), jnp.asarray(mask)))
+    assert post.shape == (b, t_len, s)
+    np.testing.assert_allclose(post[0].sum(-1), 1.0, rtol=1e-5)
+    _, cache = hmm.infer(hmm.sufficient_statistics(jnp.asarray(data)),
+                         jnp.asarray(mask))
+    if "posteriors" in cache:  # general path (CPU)
+        np.testing.assert_allclose(post, np.asarray(cache["posteriors"]),
+                                   rtol=1e-6, atol=1e-7)

@@ -293,6 +293,44 @@ def test_stats_fused_ckpt_matches_llh_variant(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_full_xi_ckpt_matches_log_oracle(rng):
+    """hmm_estep_ckpt (full (S, S) ξ, identity selections) == the
+    log-domain forward-backward + expected_transition_counts oracle on
+    a random ergodic graph, ragged masks included."""
+    b, t_len, s = 3, 17, 6
+    lt, li, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = [t_len, 9, 2]
+    mask = np.zeros((b, t_len), np.float32)
+    for i, ln in enumerate(lengths):
+        mask[i, :ln] = 1.0
+    args = (jnp.asarray(llh), jnp.asarray(lt), jnp.asarray(li),
+            jnp.asarray(lf), jnp.asarray(mask))
+    fb = semiring_scan.forward_backward(*args)
+    xi_oracle = semiring_scan.expected_transition_counts(
+        fb.log_alpha, fb.log_beta, args[0], args[1], fb.log_z, args[4]
+    )
+
+    llh_tm = jnp.swapaxes(args[0], 0, 1)
+    trans = jnp.exp(args[1])
+    iv = jnp.broadcast_to(jnp.exp(args[2]), (b, s)).astype(jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(args[3]), (b, s)).astype(jnp.float32)
+    ckpts, _, _ = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, args[4], interpret=True
+    )
+    gamma_tm, xi_raw = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, ckpts, trans, fv, args[4], None, None, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(gamma_tm, 0, 1)), np.asarray(fb.posteriors),
+        rtol=2e-4, atol=1e-5, err_msg="gamma",
+    )
+    np.testing.assert_allclose(
+        np.asarray(xi_raw * trans), np.asarray(xi_oracle),
+        rtol=2e-4, atol=1e-5, err_msg="xi",
+    )
+
+
 def test_banded_ckpt_matches_dense(rng):
     """Banded ckpt kernels (band + rank-1 VPU propagators) == the dense
     ckpt kernels on a phone-loop-structured transition matrix."""
