@@ -41,11 +41,19 @@ Kernel inventory (each with an exact jnp fallback in semiring_scan):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Test hook: BEER_PALLAS_INTERPRET=1 (or setting this flag + clearing
+# ``available.cache_clear()``) forces every kernel through the Pallas
+# interpreter so the MODEL-LEVEL fused paths (PhoneLoop/HMM
+# infer+accumulate) run on CPU CI — kernel-level interpret tests alone
+# don't cover the models' dispatch/padding glue.
+FORCE_INTERPRET = os.environ.get("BEER_PALLAS_INTERPRET", "") == "1"
 
 # time steps per kernel invocation.  Scoped VMEM measured on a v5e
 # fits (27 + 6.7·K) · B·S·4 bytes (double-buffered e/prob/logc tiles +
@@ -178,7 +186,7 @@ def _call(kernel, e_tm, m_tm, trans, vec, index_map, k_steps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(e_tm, m_tm, trans, vec)
     return probs, logcs
 
@@ -339,7 +347,7 @@ def forward_pass_banded(e_llh, bands, init_vec, mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(e_tm, m_tm, *[v.reshape(1, s) for v in bands], init_vec)
     probs = jnp.swapaxes(probs, 0, 1)[:, :t_len]
     logcs = jnp.swapaxes(logcs[..., 0], 0, 1)[:, :t_len]
@@ -381,7 +389,7 @@ def backward_smoothing_banded(e_llh, bands, final_vec, mask, a_probs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(e_tm, m_tm, mn_tm, a_tm, *[v.reshape(1, s) for v in bands], final_vec)
     gamma = jnp.swapaxes(gamma, 0, 1)[:, :t_len]
     w = jnp.swapaxes(w, 0, 1)[:, :t_len]
@@ -505,7 +513,7 @@ def backward_smoothing_pass(e_llh, trans, final_vec, mask, a_probs,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(e_tm, m_tm, mn_tm, a_tm, trans.T, final_vec)
     if time_major:
         return (gamma[:t_len], w[:t_len],
@@ -777,7 +785,7 @@ def forward_llh_pass(llh_tm, trans, init_vec, mask, interpret: bool = False):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(llh_p, m_tm, trans, init_vec)
     return (probs[:t_len], norms[:t_len, :, 0], mllh[:t_len, :, 0])
 
@@ -961,7 +969,7 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(*args)
     return (ckpts, last[0], logz[0, :, 0])
 
@@ -1280,7 +1288,7 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(*args)
     if acc:
         xi, emis_acc, counts, gamma0 = out
@@ -1451,7 +1459,7 @@ def phone_loop_estep_pass(llh_tm, a_tm, norms_tm, trans,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or FORCE_INTERPRET,
     )(llh_p, m_tm, mn_tm, a_p, cn_tm, trans.T, final_vec,
       sel_r, sel_c)
     return gamma[:t_len], xi
@@ -1463,6 +1471,8 @@ def available() -> bool:
 
     Explicit ``== "tpu"`` (the axon tunnel also reports ``"tpu"``): the
     kernels use ``pltpu.VMEM`` BlockSpecs, which would crash rather than
-    fall back on a CUDA/ROCm backend.
+    fall back on a CUDA/ROCm backend.  :data:`FORCE_INTERPRET` overrides
+    for CPU testing of the fused model paths (clear the cache after
+    toggling the flag at runtime).
     """
-    return jax.default_backend() == "tpu"
+    return FORCE_INTERPRET or jax.default_backend() == "tpu"

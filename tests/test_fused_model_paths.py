@@ -1,0 +1,129 @@
+"""Model-level fused (Pallas) E-step paths on CPU via FORCE_INTERPRET.
+
+The kernel-level interpret tests in test_pallas_scan.py validate the
+kernels' math; these run the MODELS' fused dispatch end-to-end —
+`infer` + `accumulate` + one `vb_step` — so the padding/cache glue in
+`PhoneLoop.infer`/`HMM.infer` (reference beer/models/{hmm,phoneloop}.py
+E-step entry points) is covered without a TPU.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import beer_tpu
+from beer_tpu.models import graph as graph_mod
+from beer_tpu.models.hmm import HMM
+from beer_tpu.models.phoneloop import PhoneLoop
+from beer_tpu.ops import pallas_scan
+from beer_tpu.vbi import vb_step
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture
+def force_interpret(monkeypatch):
+    monkeypatch.setattr(pallas_scan, "FORCE_INTERPRET", True)
+    pallas_scan.available.cache_clear()
+    yield
+    pallas_scan.available.cache_clear()
+
+
+def _general_path(model, stats, mask, monkeypatch):
+    """Run infer/accumulate with the pallas path disabled."""
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            log_z, cache = model.infer(stats, mask)
+            assert "ckpts" not in cache
+            acc = model.accumulate(stats, cache)
+        finally:
+            pallas_scan.available.cache_clear()
+    return log_z, acc
+
+
+def _assert_acc_close(acc_f, acc_g, rtol=2e-3, atol=0.05):
+    flat_f, flat_g = jax.tree.leaves(acc_f), jax.tree.leaves(acc_g)
+    assert len(flat_f) == len(flat_g)
+    for a, b in zip(flat_f, flat_g):
+        np.testing.assert_allclose(np.asarray(a, np.float64),
+                                   np.asarray(b, np.float64),
+                                   rtol=rtol, atol=atol)
+
+
+def test_hmm_fused_path_matches_general(rng, force_interpret, monkeypatch):
+    S, P, D, B, T = 8, 4, 3, 2, 21
+    g = graph_mod.Graph()
+    states = [g.add_state(i % P) for i in range(S)]
+    for s in states:
+        for t in states:
+            g.add_arc(s, t, 0.5 if s == t else 0.5 / (S - 1))
+        g.set_init(s)
+        g.set_final(s, 0.1)
+    g.normalize()
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), P, cov_type="diagonal", noise_std=0.5,
+        key=jax.random.PRNGKey(0),
+    )
+    hmm = HMM.create(g, nset, learn_transitions=True)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 13:] = 0
+    mask = jnp.asarray(mask)
+
+    stats = hmm.sufficient_statistics(x)
+    assert hmm._fused_estep_ok()
+    logz_f, cache_f = hmm.infer(stats, mask)
+    assert "ckpts" in cache_f
+    acc_f = hmm.accumulate(stats, cache_f)
+    logz_g, acc_g = _general_path(hmm, stats, mask, monkeypatch)
+    np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
+                               rtol=2e-5, atol=1e-4)
+    _assert_acc_close(acc_f, acc_g)
+    # xi diagnostic through the fused cache
+    counts = np.asarray(hmm.expected_transition_counts(cache_f))
+    assert np.isfinite(counts).all() and (counts >= 0).all()
+    np.testing.assert_allclose(
+        counts.sum(), float(np.asarray(mask)[:, 1:].sum()), rtol=1e-4
+    )
+
+
+def test_phone_loop_fused_path_matches_general(rng, force_interpret,
+                                               monkeypatch):
+    U, SPU, D, B, T = 3, 2, 3, 2, 17
+    S = U * SPU
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), S, cov_type="diagonal", noise_std=0.5,
+        key=jax.random.PRNGKey(1),
+    )
+    loop = PhoneLoop.create(U, SPU, nset)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 9:] = 0
+    mask = jnp.asarray(mask)
+
+    stats = loop.sufficient_statistics(x)
+    assert loop._fused_estep_ok()
+    logz_f, cache_f = loop.infer(stats, mask)
+    assert "ckpts" in cache_f
+    acc_f = loop.accumulate(stats, cache_f)
+    logz_g, acc_g = _general_path(loop, stats, mask, monkeypatch)
+    np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
+                               rtol=2e-5, atol=1e-4)
+    _assert_acc_close(acc_f, acc_g)
+
+    # one full fused VB step stays finite and matches the general step
+    elbo_f, loop_f = vb_step(loop, x, mask=mask)
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            elbo_g, _ = vb_step(loop, x, mask=mask)
+        finally:
+            pallas_scan.available.cache_clear()
+    assert np.isfinite(float(elbo_f))
+    np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)
