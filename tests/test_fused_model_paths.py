@@ -127,3 +127,48 @@ def test_phone_loop_fused_path_matches_general(rng, force_interpret,
             pallas_scan.available.cache_clear()
     assert np.isfinite(float(elbo_f))
     np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)
+
+
+def test_svae_grad_through_fused_phone_loop(rng, force_interpret,
+                                            monkeypatch):
+    """The SVAE hybrid step differentiates log Z through the fused
+    forward (`forward_llh_ckpt_banded` custom_vjp) — the on-TPU training
+    path.  Gradients must match the general-path step."""
+    import optax
+    from beer_tpu.models.vae import SequenceVAE, make_vae_train_step
+
+    U, SPU, DZ, DX, B, T = 2, 2, 2, 3, 2, 9
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(DZ), jnp.eye(DZ), U * SPU, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(2),
+    )
+    loop = PhoneLoop.create(U, SPU, nset, self_loop=0.7)
+    svae = SequenceVAE.create(
+        obs_dim=DX, latent_dim=DZ, latent_model=loop, hidden=(8,),
+        nsamples=1, key=jax.random.PRNGKey(4),
+    )
+    x = jnp.asarray(rng.normal(size=(B, T, DX)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 5:] = 0
+    mask = jnp.asarray(mask)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(svae.nnet_params)
+    assert loop._fused_estep_ok()
+
+    step = make_vae_train_step(tx)
+    elbo_f, svae_f, _ = step(svae, opt_state, x, jax.random.PRNGKey(0), mask)
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            step_g = make_vae_train_step(tx)
+            elbo_g, svae_g, _ = step_g(
+                svae, opt_state, x, jax.random.PRNGKey(0), mask
+            )
+        finally:
+            pallas_scan.available.cache_clear()
+    np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(svae_f.nnet_params),
+                    jax.tree.leaves(svae_g.nnet_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
