@@ -563,7 +563,15 @@ def main():
     run_config("svae", lambda: entry("svae", bench_svae(data, mask)[0],
                                      torch_svae(data, mask)))
 
-    value, elbo = bench_phone_loop(data, mask)
+    for attempt in (1, 2):
+        try:
+            value, elbo = bench_phone_loop(data, mask)
+            break
+        except Exception as e:  # noqa: BLE001 — tunnel flakes happen
+            if attempt == 2:
+                raise
+            print(f"# phone_loop attempt 1 failed "
+                  f"({type(e).__name__}: {e}); retrying", file=sys.stderr)
     baseline = torch_phone_loop(data, mask)
     configs["phone_loop"] = entry("phone_loop", value, baseline)
 
