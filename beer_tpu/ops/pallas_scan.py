@@ -62,6 +62,25 @@ FORCE_INTERPRET = os.environ.get("BEER_PALLAS_INTERPRET", "") == "1"
 STEPS_PER_BLOCK = 8
 _VMEM_BUDGET = 80 * 1024 * 1024
 
+# Default number of independent batch sub-chains inside the ckpt kernels'
+# serial recursions (overridable per call via ``batch_chunks=``).  Each
+# chunk advances its own carry, so the scheduler gets ``n_chunks``
+# independent dependency chains per serial step to overlap — the
+# latency-engineering lever named in docs/PERFORMANCE.md.  Per-row
+# arithmetic is unchanged (every op in the chain is row-wise), so chunked
+# forward/γ outputs are bit-identical to the unchunked kernel; only the
+# ξ/accumulator reductions change summation order (≈1e-7 relative).
+BATCH_CHUNKS = int(os.environ.get("BEER_SCAN_BATCH_CHUNKS", "1"))
+
+
+def _resolve_chunks(batch_chunks, b):
+    """Per-call chunk count: must divide B into sublane-aligned (×8)
+    slices; anything else falls back to the unchunked kernel."""
+    c = BATCH_CHUNKS if batch_chunks is None else batch_chunks
+    if c < 1 or b % c or (b // c) % 8:
+        return 1
+    return c
+
 
 def _steps_per_block(b: int, s: int) -> int:
     k = STEPS_PER_BLOCK
@@ -817,7 +836,7 @@ def _band_propagators(band_ref):
 
 
 def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
-                              banded: bool = False):
+                              banded: bool = False, n_chunks: int = 1):
     """Forward recursion that writes only block-entry CHECKPOINTS.
 
     The (T, B, S) α̂ stream is the forward pass's dominant HBM traffic
@@ -870,26 +889,38 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
         llh_blk = _llh_block(llh_ref, w_ref, bias_ref, fuse_ellh)
         llh_all = llh_blk if fuse_ellh else llh_ref[:].astype(jnp.float32)
         e_all, mllh_all = _exp_block(llh_all, m_all)
-        norms = []
+        # n_chunks > 1: split the batch rows into independent sub-chains
+        # so the scheduler can overlap their serial recursions (the chain
+        # ops are all row-wise ⇒ per-row results are bit-identical)
+        cb = p.shape[0] // n_chunks
+        row = lambda c: slice(c * cb, (c + 1) * cb)
+        ps = [p[row(c)] for c in range(n_chunks)] if n_chunks > 1 else [p]
+        norms = [[] for _ in range(n_chunks)]
         for k in range(k_steps):
-            propagated = propagate(p)
-            if k == 0:
-                base = jnp.where(pid == 0, p, propagated)
-            else:
-                base = propagated
-            raw = base * e_all[k]
-            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
-            new_p = raw / norm
-            keep = m_all[k]
-            if k == 0:
-                keep = jnp.where(pid == 0, 1.0, keep)
-            p = keep * new_p + (1.0 - keep) * p
-            norms.append(keep * norm + (1.0 - keep))
+            for c in range(n_chunks):
+                pc = ps[c]
+                propagated = propagate(pc)
+                if k == 0:
+                    base = jnp.where(pid == 0, pc, propagated)
+                else:
+                    base = propagated
+                raw = base * (e_all[k, row(c)] if n_chunks > 1
+                              else e_all[k])
+                norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+                new_p = raw / norm
+                keep = m_all[k, row(c)] if n_chunks > 1 else m_all[k]
+                if k == 0:
+                    keep = jnp.where(pid == 0, 1.0, keep)
+                ps[c] = keep * new_p + (1.0 - keep) * pc
+                norms[c].append(keep * norm + (1.0 - keep))
+        p = jnp.concatenate(ps, 0) if n_chunks > 1 else ps[0]
         carry_p[:] = p
         # per-step norms never reach HBM: log Z only needs their log-sum
         # (+ the rowmax shifts), a (B, 1) carry — and masked norms are 1,
         # so the log/sum runs vectorized AFTER the chain
-        z = carry_z[:] + jnp.log(jnp.stack(norms)).sum(0) + mllh_all.sum(0)
+        logn = [jnp.log(jnp.stack(ns)).sum(0) for ns in norms]
+        logn = jnp.concatenate(logn, 0) if n_chunks > 1 else logn[0]
+        z = carry_z[:] + logn + mllh_all.sum(0)
         carry_z[:] = z
         last_out[0] = p.astype(last_out.dtype)
         logz_out[0] = z.astype(logz_out.dtype)
@@ -899,7 +930,8 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
 
 def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
                           interpret: bool = False,
-                          w=None, bias=None, bands=None):
+                          w=None, bias=None, bands=None,
+                          batch_chunks=None):
     """Scaled forward emitting block-entry checkpoints instead of the
     full α̂ stream; see :func:`_make_fwd_llh_ckpt_kernel`.
 
@@ -953,7 +985,8 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
         args += [trans, init_vec]
     ckpts, last, logz = pl.pallas_call(
         _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh=fuse,
-                                  banded=bands is not None),
+                                  banded=bands is not None,
+                                  n_chunks=_resolve_chunks(batch_chunks, b)),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[big_one, fixed_one, fixed_small],
@@ -978,7 +1011,8 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
                             fuse_ellh: bool = False,
                             fuse_acc: bool = False,
                             banded: bool = False,
-                            full_xi: bool = False):
+                            full_xi: bool = False,
+                            n_chunks: int = 1):
     """Fused E-step epilogue recomputing α̂ from block checkpoints.
 
     Identical math to :func:`_make_estep_kernel`, but the (K, B, S) α̂
@@ -1079,95 +1113,139 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
         hi = jax.lax.Precision.HIGHEST
         b = v_hat.shape[0]
         is_last_all = m_all * (1.0 - mn_all)
-        a_list, norm_list = [], []
-        u1_list = [None] * k_steps
+        # n_chunks > 1: the batch rows split into independent sub-chains
+        # (2·n_chunks interleaved serial chains per block — α̂ recompute
+        # ascending + v backward descending, per chunk).  Row-wise chain
+        # arithmetic ⇒ γ/α̂ are bit-identical; the ξ / emission-moment
+        # reductions run per chunk and sum, which only changes float
+        # summation order.
+        cb = b // n_chunks
+        rows = (lambda x, c: x) if n_chunks == 1 else (
+            lambda x, c: x[c * cb:(c + 1) * cb])
+        krows = (lambda x, c: x) if n_chunks == 1 else (
+            lambda x, c: x[:, c * cb:(c + 1) * cb])
+        p_c = [rows(p, c) for c in range(n_chunks)]
+        v_c = [rows(v_hat, c) for c in range(n_chunks)]
+        a_lists = [[] for _ in range(n_chunks)]
+        norm_lists = [[] for _ in range(n_chunks)]
+        u1_lists = [[None] * k_steps for _ in range(n_chunks)]
         for j in range(k_steps):
-            # forward-recompute step k = j
-            propagated = propagate(p)
-            if j == 0:
-                base = jnp.where(first_time_block, p, propagated)
-            else:
-                base = propagated
-            raw = base * e_all[j]
-            norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
-            new_p = raw / norm
-            keep = m_all[j]
-            if j == 0:
-                keep = jnp.where(first_time_block, 1.0, keep)
-            p = keep * new_p + (1.0 - keep) * p
-            a_list.append(p)
-            norm_list.append(keep * norm + (1.0 - keep))
-            # backward step k = K−1−j
             k = k_steps - 1 - j
-            u1 = propagate_t(v_hat)
-            u1 = is_last_all[k] * final + (1.0 - is_last_all[k]) * u1
-            u1_list[k] = u1
-            v = e_all[k] * u1
-            sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
-            v_hat = m_all[k] * (v / sv) + (1.0 - m_all[k]) * v_hat
-        carry_v[:] = v_hat
+            for c in range(n_chunks):
+                # forward-recompute step k = j on chunk c
+                p = p_c[c]
+                propagated = propagate(p)
+                if j == 0:
+                    base = jnp.where(first_time_block, p, propagated)
+                else:
+                    base = propagated
+                raw = base * rows(e_all[j], c)
+                norm = jnp.maximum(raw.sum(-1, keepdims=True), tiny)
+                new_p = raw / norm
+                keep = rows(m_all[j], c)
+                if j == 0:
+                    keep = jnp.where(first_time_block, 1.0, keep)
+                p_c[c] = keep * new_p + (1.0 - keep) * p
+                a_lists[c].append(p_c[c])
+                norm_lists[c].append(keep * norm + (1.0 - keep))
+                # backward step k = K−1−j on chunk c
+                v_hat = v_c[c]
+                u1 = propagate_t(v_hat)
+                u1 = (rows(is_last_all[k], c) * rows(final, c)
+                      + (1.0 - rows(is_last_all[k], c)) * u1)
+                u1_lists[c][k] = u1
+                v = rows(e_all[k], c) * u1
+                sv = jnp.maximum(v.sum(-1, keepdims=True), tiny)
+                v_c[c] = (rows(m_all[k], c) * (v / sv)
+                          + (1.0 - rows(m_all[k], c)) * v_hat)
+        carry_v[:] = (v_c[0] if n_chunks == 1
+                      else jnp.concatenate(v_c, 0))
 
-        # ---- vectorized epilogue: smoothing quantities for the whole
-        # block at once (identical arithmetic to the old per-step forms)
-        a_all = jnp.stack(a_list)                       # (K, B, S)
-        norm_all = jnp.stack(norm_list)                 # (K, B, 1)
-        u1_all = jnp.stack(u1_list)                     # (K, B, S)
-        ab_all = a_all * u1_all
-        absum_all = ab_all.sum(-1, keepdims=True)
-        gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_all
-        v_all = e_all * u1_all
-        sv_all = jnp.maximum(v_all.sum(-1, keepdims=True), tiny)
-        w_all = v_all / sv_all
-        if full_xi:
-            # identity selections: the ξ factors ARE the carries
-            wsel_all = w_all
-        else:
-            wsel_all = _dot2_sel(
-                w_all.reshape(k_steps * b, -1), selc_ref[:]
-            ).reshape(k_steps, b, -1)                   # (K, B, C)
-        denom_all = norm_all * absum_all / sv_all
-        wgt_all = jnp.where(denom_all > 1e-30,
-                            m_all / jnp.maximum(denom_all, 1e-30), 0.0)
-        if not fuse_acc:
-            gamma_out[:] = gamma_all.astype(gamma_out.dtype)
+        # ---- vectorized epilogue, per chunk: smoothing quantities for
+        # the whole block at once (identical arithmetic to the old
+        # per-step forms); ξ and the fused accumulators sum the chunks'
+        # contributions
+        xi_v = xi[:]
+        wsel0_c, wgt0_c = [], []
+        for c in range(n_chunks):
+            a_all = jnp.stack(a_lists[c])               # (K, cb, S)
+            norm_all = jnp.stack(norm_lists[c])         # (K, cb, 1)
+            u1_all = jnp.stack(u1_lists[c])             # (K, cb, S)
+            m_blk = krows(m_all, c)
+            ab_all = a_all * u1_all
+            absum_all = ab_all.sum(-1, keepdims=True)
+            gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_blk
+            v_all = krows(e_all, c) * u1_all
+            sv_all = jnp.maximum(v_all.sum(-1, keepdims=True), tiny)
+            w_all = v_all / sv_all
+            if full_xi:
+                # identity selections: the ξ factors ARE the carries
+                wsel_all = w_all
+            else:
+                wsel_all = _dot2_sel(
+                    w_all.reshape(k_steps * cb, -1), selc_ref[:]
+                ).reshape(k_steps, cb, -1)              # (K, cb, C)
+            denom_all = norm_all * absum_all / sv_all
+            wgt_all = jnp.where(denom_all > 1e-30,
+                                m_blk / jnp.maximum(denom_all, 1e-30), 0.0)
+            if not fuse_acc:
+                if n_chunks == 1:
+                    gamma_out[:] = gamma_all.astype(gamma_out.dtype)
+                else:
+                    gamma_out[:, c * cb:(c + 1) * cb] = gamma_all.astype(
+                        gamma_out.dtype)
 
-        if full_xi:
-            u_sel_all = a_all
-        else:
-            u_sel_all = _dot2_sel(
-                a_all.reshape(k_steps * b, -1), selr_ref[:]
-            ).reshape(k_steps, b, -1)                      # (K, B, R)
-        uw_in = (u_sel_all[:-1] * wgt_all[1:]).reshape((k_steps - 1) * b, -1)
-        xi_v = xi[:] + jax.lax.dot_general(
-            uw_in, wsel_all[1:].reshape((k_steps - 1) * b, -1),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi,
-        )
-        xi_v = xi_v + jax.lax.dot_general(
-            u_sel_all[k_steps - 1] * prev_wgt, prev_wsel,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi,
-        )
-        carry_wsel[:] = wsel_all[0]
-        carry_wgt[:] = wgt_all[0]
+            if full_xi:
+                u_sel_all = a_all
+            else:
+                u_sel_all = _dot2_sel(
+                    a_all.reshape(k_steps * cb, -1), selr_ref[:]
+                ).reshape(k_steps, cb, -1)                 # (K, cb, R)
+            uw_in = (u_sel_all[:-1] * wgt_all[1:]).reshape(
+                (k_steps - 1) * cb, -1)
+            xi_v = xi_v + jax.lax.dot_general(
+                uw_in, wsel_all[1:].reshape((k_steps - 1) * cb, -1),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+            xi_v = xi_v + jax.lax.dot_general(
+                u_sel_all[k_steps - 1] * rows(prev_wgt, c),
+                rows(prev_wsel, c),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+            wsel0_c.append(wsel_all[0])
+            wgt0_c.append(wgt_all[0])
+
+            if fuse_acc:
+                # block-level γᵀ @ stats on the MXU (transpose-dot) +
+                # per-state counts
+                g = gamma_all.reshape(k_steps * cb, -1)
+                st = krows(stats_ref[:].astype(jnp.float32), c).reshape(
+                    k_steps * cb, -1)
+                acc_new = acc_scr[:] + jnp.dot(
+                    g.T, st, preferred_element_type=jnp.float32,
+                    precision=hi,
+                )
+                acc_scr[:] = acc_new
+                cnt_scr[:] += g.sum(0)[None]
+                # constant index map ⇒ flushed once after the LAST grid
+                # step, which is time-block 0: γ(t=0) for the unit-prior
+                # counts
+                if n_chunks == 1:
+                    g0_out[0] = gamma_all[0].astype(g0_out.dtype)
+                else:
+                    g0_out[0, c * cb:(c + 1) * cb] = gamma_all[0].astype(
+                        g0_out.dtype)
+        carry_wsel[:] = (wsel0_c[0] if n_chunks == 1
+                         else jnp.concatenate(wsel0_c, 0))
+        carry_wgt[:] = (wgt0_c[0] if n_chunks == 1
+                        else jnp.concatenate(wgt0_c, 0))
         xi[:] = xi_v
         xi_out[:] = xi_v.astype(xi_out.dtype)
-
         if fuse_acc:
-            # block-level γᵀ @ stats on the MXU (transpose-dot) +
-            # per-state counts
-            g = gamma_all.reshape(k_steps * b, -1)
-            st = stats_ref[:].astype(jnp.float32).reshape(k_steps * b, -1)
-            acc_scr[:] += jnp.dot(
-                g.T, st, preferred_element_type=jnp.float32,
-                precision=hi,
-            )
-            cnt_scr[:] += g.sum(0)[None]
             acc_out[:] = acc_scr[:].astype(acc_out.dtype)
             cnt_out[:] = cnt_scr[:].astype(cnt_out.dtype)
-            # constant index map ⇒ flushed once after the LAST grid step,
-            # which is time-block 0: γ(t=0) for the unit-prior counts
-            g0_out[0] = gamma_all[0].astype(g0_out.dtype)
 
     return kernel
 
@@ -1175,7 +1253,7 @@ def _make_estep_ckpt_kernel(k_steps: int, n_blocks: int,
 def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
                                sel_r, sel_c, interpret: bool = False,
                                w=None, bias=None, stats_tm=None,
-                               bands=None):
+                               bands=None, batch_chunks=None):
     """Fused smoothing + restricted ξ from forward CHECKPOINTS.
 
     Inputs: llh_tm (T, B, S); ckpts (n_blocks, B, S) block-entry carries
@@ -1279,7 +1357,8 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
     out = pl.pallas_call(
         _make_estep_ckpt_kernel(k_steps, n_blocks, fuse_ellh=fuse,
                                 fuse_acc=acc, banded=bands is not None,
-                                full_xi=full_xi),
+                                full_xi=full_xi,
+                                n_chunks=_resolve_chunks(batch_chunks, b)),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=out_specs,

@@ -473,3 +473,65 @@ def test_forward_stats_ckpt_grad_flows(rng, monkeypatch):
     g_ref = jax.grad(logz_ref)(stats)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_batch_chunked_ckpt_matches_unchunked(rng):
+    """batch_chunks > 1 (independent interleaved batch sub-chains) ==
+    the unchunked ckpt kernels.  The chain ops are all row-wise, so the
+    forward checkpoints / log Z / γ must be bit-identical; ξ and the
+    fused accumulators sum per-chunk contributions (reduction-order
+    changes only)."""
+    b, t_len, n_units, spu, p_dim = 32, 21, 4, 3, 7
+    s = n_units * spu
+    lt, _, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    stats = rng.normal(size=(b, t_len, p_dim)).astype(np.float32)
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    llh_tm = jnp.swapaxes(jnp.asarray(llh), 0, 1)
+    stats_tm = jnp.swapaxes(jnp.asarray(stats), 0, 1)
+    trans = jnp.exp(jnp.asarray(lt))
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(jnp.asarray(lf)), (b, s)).astype(jnp.float32)
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+
+    c_ref, last_ref, z_ref = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, mask, interpret=True)
+    g_ref, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c_ref, trans, fv, mask, sel_r, sel_c, interpret=True)
+    xi_a_ref, acc_ref, cnt_ref, g0_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c_ref, trans, fv, mask, sel_r, sel_c, interpret=True,
+        stats_tm=stats_tm)
+
+    for chunks in (2, 4):
+        c, last, z = pallas_scan.forward_llh_ckpt_pass(
+            llh_tm, trans, iv, mask, interpret=True, batch_chunks=chunks)
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        np.testing.assert_array_equal(np.asarray(last), np.asarray(last_ref))
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
+        g, xi = pallas_scan.phone_loop_estep_ckpt_pass(
+            llh_tm, c, trans, fv, mask, sel_r, sel_c, interpret=True,
+            batch_chunks=chunks)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(g_ref))
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                                   rtol=1e-5, atol=1e-6)
+        xi_a, acc, cnt, g0 = pallas_scan.phone_loop_estep_ckpt_pass(
+            llh_tm, c, trans, fv, mask, sel_r, sel_c, interpret=True,
+            stats_tm=stats_tm, batch_chunks=chunks)
+        np.testing.assert_allclose(np.asarray(xi_a), np.asarray(xi_a_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(g0), np.asarray(g0_ref))
+
+    # non-dividing / non-sublane-aligned chunk counts fall back cleanly
+    c, last, z = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, mask, interpret=True, batch_chunks=3)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
