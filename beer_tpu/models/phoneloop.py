@@ -46,6 +46,17 @@ def _promote(x: jnp.ndarray) -> jnp.ndarray:
 # O(S²) MXU step (see PhoneLoop.infer)
 _BANDED_MIN_STATES = 384
 
+# Lane-major (S, B) fused E-step: at small state counts the batch-major
+# (B, S) tiles pad S up to whole 128-lane groups (41% dead lanes at
+# S=150) while the serial chains are ~all VPU ops; the (S, B)
+# orientation puts B on the lanes (exact fill at B=512) and S on
+# sublanes (1.3% pad), cutting the chains' VPU work ~40%
+# (tools/exp_lane_major.py).  Module-level so tests/benchmarks can flip
+# it; the env var sets the session default.
+import os as _os
+
+LANE_MAJOR = _os.environ.get("BEER_LANE_MAJOR", "0") == "1"
+
 
 @struct.dataclass
 class PhoneLoop(DiscreteLatentModel):
@@ -178,9 +189,94 @@ class PhoneLoop(DiscreteLatentModel):
             and self.n_states < _BANDED_MIN_STATES
         )
 
+    def _infer_fused_lm(self, stats, mask, graph):
+        """Lane-major fused E-step forward: every per-frame array is
+        (…, S, B) so the scan kernels' VPU ops run on (S, B) tiles —
+        see the LANE_MAJOR note at module top.  The stats transpose
+        (T, P, B) happens ONCE here (~40 MB at the bench shape, vs the
+        264 MB llh stream it reorients for free: llh is *produced*
+        lane-major by the ELLH einsum below)."""
+        stats_lm = jnp.transpose(stats, (1, 2, 0))     # (T, P, B)
+        t_len, _, b = stats_lm.shape
+        s = self.n_states
+        dt = stats_lm.dtype
+        if mask is None:
+            mask = jnp.ones((b, t_len), dt)
+        t_pad = semiring_scan.scan_time_pad(t_len, b, s)
+        if t_pad != t_len:
+            stats_lm = jnp.concatenate([
+                stats_lm,
+                jnp.zeros((t_pad - t_len,) + stats_lm.shape[1:], dt),
+            ], axis=0)
+            mask = jnp.concatenate([
+                mask, jnp.zeros((b, t_pad - t_len), mask.dtype)
+            ], axis=1)
+        w_mat, bias = self.modelset.ellh_matrix()      # (P, S), (S,)
+        llh_lm = jnp.einsum(
+            "tpb,ps->tsb", stats_lm, w_mat,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + bias[None, :, None]
+        tiny = jnp.finfo(llh_lm.dtype).tiny
+        bands = self._structured_trans(llh_lm.dtype)
+        trans = jnp.exp(graph.log_trans)
+        init_lm = jnp.broadcast_to(
+            jnp.exp(jnp.maximum(graph.log_init, LOG_ZERO))[:, None], (s, b)
+        ).astype(llh_lm.dtype)
+        final_lm = jnp.broadcast_to(
+            jnp.exp(jnp.maximum(graph.log_final, LOG_ZERO))[:, None], (s, b)
+        ).astype(llh_lm.dtype)
+        ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt_banded_lm(
+            llh_lm, bands, trans, init_lm, mask
+        )
+        log_z = logz_base + jnp.log(
+            jnp.maximum((a_last * final_lm).sum(0), tiny)
+        )
+        log_z = log_z * (mask.sum(-1) > 0)
+        return log_z, {
+            "llh_lm": llh_lm,
+            "bands": bands,
+            "ckpts": ckpts,
+            "stats_lm": stats_lm,
+            "mask": mask,
+            "graph": graph,
+            "final_lm": final_lm,
+        }
+
+    def _accumulate_fused_lm(self, stats, cache) -> Dict[str, Any]:
+        """Lane-major mirror of :meth:`_accumulate_fused`: γ comes back
+        (T, S, B) and feeds the emission update through
+        ``accumulate_from_moments`` (the γᵀ@stats einsum contracts the
+        batch lanes per time step — same MXU shape as the batch-major
+        path)."""
+        sg = jax.lax.stop_gradient
+        graph = cache["graph"]
+        s = self.n_states
+        dt = cache["llh_lm"].dtype
+        sel_r_t = jax.nn.one_hot(self._ends, s, dtype=dt)      # (U, S)
+        sel_c_t = jax.nn.one_hot(self._starts, s, dtype=dt)    # (U, S)
+        gamma_lm, xi_raw = semiring_scan.phone_loop_estep_ckpt_lm(
+            sg(cache["llh_lm"]), sg(cache["bands"]), sg(cache["ckpts"]),
+            sg(cache["final_lm"]), sg(cache["mask"]), sel_r_t, sel_c_t,
+        )
+        stats_lm = cache["stats_lm"]
+        acc2 = jnp.einsum(
+            "tsb,tpb->sp", gamma_lm, stats_lm,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        counts = gamma_lm.sum((0, 2))
+        trans_blk = jnp.exp(graph.log_trans)[self._ends][:, self._starts]
+        unit_counts = (xi_raw * sg(trans_blk)).sum(0) \
+            + gamma_lm[0][self._starts, :].sum(-1)
+        return {
+            "modelset": self.modelset.accumulate_from_moments(acc2, counts),
+            "unit_prior": self.unit_prior.accumulate_counts(unit_counts),
+        }
+
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         if self._fused_estep_ok():
             graph = self._effective_graph()
+            if LANE_MAJOR:
+                return self._infer_fused_lm(stats, mask, graph)
             # transpose the (smaller) stats once and compute llh with one
             # XLA matmul; streaming llh into the kernels beats computing
             # it in-kernel from (stats, W, bias) — the in-VMEM HIGHEST
@@ -285,6 +381,8 @@ class PhoneLoop(DiscreteLatentModel):
         return loop_counts + init_counts
 
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
+        if "llh_lm" in cache:
+            return self._accumulate_fused_lm(stats, cache)
         if "ckpts" in cache:
             return self._accumulate_fused(stats, cache)
         post = cache["posteriors"]  # (B, T, S); pdf_ids are the identity here

@@ -1376,6 +1376,343 @@ def phone_loop_estep_ckpt_pass(llh_tm, ckpts, trans, final_vec, mask,
     return gamma[:t_len], xi
 
 
+# ----------------------------------------------------------------------
+# Lane-major (S, B) variants of the fused phone-loop ckpt kernels
+# ----------------------------------------------------------------------
+# At the bench shape S=150 pads to 256 LANES in the batch-major (B, S)
+# tiles — 41% of every VPU op's lanes are dead, and the serial chains
+# (the kernels' cost) are ~all VPU ops.  Lane-major flips the tile to
+# (S, B): S=150 pads to 152 sublanes (1.3% waste) and B=512 fills 4×128
+# lanes exactly — 76 vregs per value instead of 128.  The stream bytes
+# are identical; only the in-VMEM orientation changes.  Banded
+# (phone-loop) transitions only: the band propagators are elementwise
+# + a sublane shift + a sublane-reduce, all orientation-symmetric.
+# Gated by tools/exp_lane_major.py on-chip.
+def _shift_down(x):
+    """y[i, :] = x[i-1, :]; y[0, :] = 0 — sublane shift on (S, B)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == 0, 0.0, pltpu.roll(x, 1, 0))
+
+
+def _shift_up(x):
+    """y[i, :] = x[i+1, :]; y[-1, :] = 0."""
+    s = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row == s - 1, 0.0, pltpu.roll(x, s - 1, 0))
+
+
+def _band_propagators_lm(band_ref):
+    """(forward, backward) step propagators from a (S, 4) band stack
+    laid out column-wise ``[a_self | a_adv | exit | w]`` (the transpose
+    of :func:`_band_propagators`'s input, so the bands are natural
+    (S, 1) column vectors — no in-kernel relayout):
+
+        fwd:  (pA)[j]  = p[j]·a_self[j] + p[j−1]·a_adv[j−1] + (p·exit)·w[j]
+        bwd:  (Av̂)[i] = v̂[i]·a_self[i] + v̂[i+1]·a_adv[i] + (v̂·w)·exit[i]
+
+    operating on lane-major (S, B) values: the rank-1 reduce runs over
+    SUBLANES, the band shift is a sublane roll."""
+    tb = band_ref[:].astype(jnp.float32)
+    a_self, a_adv = tb[:, 0:1], tb[:, 1:2]
+    exit_v, w_v = tb[:, 2:3], tb[:, 3:4]
+
+    def fwd(p):
+        q = (p * exit_v).sum(0, keepdims=True)
+        return p * a_self + _shift_down(p * a_adv) + q * w_v
+
+    def bwd(v_hat):
+        r = (v_hat * w_v).sum(0, keepdims=True)
+        return v_hat * a_self + _shift_up(v_hat) * a_adv + r * exit_v
+
+    return fwd, bwd
+
+
+def _block_masks_lm(len_ref, t0, k_steps, shift=0):
+    """(K, 1, B) prefix masks from the (1, B) per-utterance lengths."""
+    lens = len_ref[:].astype(jnp.float32)              # (1, B)
+    ks = jax.lax.broadcasted_iota(
+        jnp.int32, (k_steps, 1, 1), 0
+    ).astype(jnp.float32)
+    return (lens[None] > t0 + shift + ks).astype(jnp.float32)
+
+
+def _exp_block_lm(llh_all, m_all):
+    """:func:`_exp_block` on (K, S, B) tiles — the rowmax runs over the
+    state (sublane) dim."""
+    mx = jnp.max(llh_all, axis=1, keepdims=True)       # (K, 1, B)
+    e = m_all * jnp.exp(llh_all - mx) + (1.0 - m_all)
+    return e, mx * m_all
+
+
+def _dot2_sel_lm(sel_t, x):
+    """sel_t @ x for a 0/1 one-hot (n, S) selection against lane-major
+    (S, B) values in TWO bf16 MXU passes (sel exact in bf16, x hi/lo
+    split) — the lane-major mirror of :func:`_dot2_sel`."""
+    x_hi, x_lo = _split_bf16(x)
+    sel_b = sel_t.astype(jnp.bfloat16)
+    return (
+        jnp.dot(sel_b, x_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(sel_b, x_lo, preferred_element_type=jnp.float32)
+    )
+
+
+def _make_fwd_llh_ckpt_kernel_lm(k_steps):
+    """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel` (banded
+    only): identical per-row arithmetic on (S, B) tiles."""
+
+    def kernel(llh_ref, len_ref, band_ref, init_ref,
+               ckpt_out, last_out, logz_out, carry_p, carry_z):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            carry_p[:] = init_ref[:].astype(jnp.float32)
+            carry_z[:] = jnp.zeros_like(carry_z)
+
+        p = carry_p[:]
+        ckpt_out[0] = p.astype(ckpt_out.dtype)
+        propagate, _ = _band_propagators_lm(band_ref)
+        t0 = (pid * k_steps).astype(jnp.float32)
+        m_all = _block_masks_lm(len_ref, t0, k_steps)
+        e_all, mllh_all = _exp_block_lm(
+            llh_ref[:].astype(jnp.float32), m_all)
+        norms = []
+        for k in range(k_steps):
+            propagated = propagate(p)
+            if k == 0:
+                base = jnp.where(pid == 0, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_all[k]
+            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+            new_p = raw / norm
+            keep = m_all[k]
+            if k == 0:
+                keep = jnp.where(pid == 0, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            norms.append(keep * norm + (1.0 - keep))
+        carry_p[:] = p
+        z = carry_z[:] + jnp.log(jnp.stack(norms)).sum(0) \
+            + mllh_all.sum(0)
+        carry_z[:] = z
+        last_out[0] = p.astype(last_out.dtype)
+        logz_out[0] = z.astype(logz_out.dtype)
+
+    return kernel
+
+
+def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
+                             interpret: bool = False):
+    """Lane-major scaled forward with block-entry checkpoints.
+
+    Inputs: llh_lm (T, S, B) time-major LANE-MAJOR log-likelihoods;
+    bands the (a_self, a_adv, exit, w) tuple of (S,) vectors; init_vec
+    (S, B); mask (B, T) prefix masks.  Returns (ckpts (n_blocks, S, B),
+    last (S, B), logz_base (B,)) — same semantics as
+    :func:`forward_llh_ckpt_pass` with every per-frame array transposed.
+    """
+    t_len, s, b = llh_lm.shape
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    llh_p = _pad_tm(llh_lm, t_pad, 0.0)
+    lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
+    n_blocks = t_pad // k_steps
+    band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
+    idx = lambda t: (t, 0, 0)
+    big_one = pl.BlockSpec((1, s, b), idx, memory_space=pltpu.VMEM)
+    fixed_one = pl.BlockSpec((1, s, b), lambda t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    fixed_small = pl.BlockSpec((1, 1, b), lambda t: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    ckpts, last, logz = pl.pallas_call(
+        _make_fwd_llh_ckpt_kernel_lm(k_steps),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((k_steps, s, b), idx, memory_space=pltpu.VMEM),
+            const2((1, b)), const2((s, 4)), const2((s, b)),
+        ],
+        out_specs=[big_one, fixed_one, fixed_small],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, s, b), llh_lm.dtype),
+            jax.ShapeDtypeStruct((1, s, b), llh_lm.dtype),
+            jax.ShapeDtypeStruct((1, 1, b), llh_lm.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or FORCE_INTERPRET,
+    )(llh_p, lens, band_arr, init_vec)
+    return (ckpts, last[0], logz[0, 0])
+
+
+def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int):
+    """Lane-major mirror of :func:`_make_estep_ckpt_kernel` (banded,
+    γ-emitting, restricted ξ): identical per-row arithmetic on (S, B)
+    tiles; the selection products contract the state (sublane) dim on
+    the MXU, the ξ outer products contract the batch (lane) dim."""
+
+    def kernel(llh_ref, len_ref, ckpt_ref, band_ref, final_ref,
+               selr_ref, selc_ref, gamma_out, xi_out,
+               carry_v, carry_wsel, carry_wgt, xi):
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            carry_v[:] = f / jnp.maximum(f.sum(0, keepdims=True), tiny)
+            carry_wsel[:] = jnp.zeros_like(carry_wsel)
+            carry_wgt[:] = jnp.zeros_like(carry_wgt)
+            xi[:] = jnp.zeros_like(xi)
+
+        t0 = ((n_blocks - 1 - pid) * k_steps).astype(jnp.float32)
+        first_time_block = pid == n_blocks - 1
+        m_all = _block_masks_lm(len_ref, t0, k_steps)
+        mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
+        e_all, _ = _exp_block_lm(llh_ref[:].astype(jnp.float32), m_all)
+
+        p = ckpt_ref[0].astype(jnp.float32)
+        v_hat = carry_v[:]
+        prev_wsel = carry_wsel[:]
+        prev_wgt = carry_wgt[:]
+        propagate, propagate_t = _band_propagators_lm(band_ref)
+        final = final_ref[:].astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        is_last_all = m_all * (1.0 - mn_all)
+        a_list, norm_list = [], []
+        u1_list = [None] * k_steps
+        for j in range(k_steps):
+            propagated = propagate(p)
+            if j == 0:
+                base = jnp.where(first_time_block, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_all[j]
+            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+            new_p = raw / norm
+            keep = m_all[j]
+            if j == 0:
+                keep = jnp.where(first_time_block, 1.0, keep)
+            p = keep * new_p + (1.0 - keep) * p
+            a_list.append(p)
+            norm_list.append(keep * norm + (1.0 - keep))
+            k = k_steps - 1 - j
+            u1 = propagate_t(v_hat)
+            u1 = is_last_all[k] * final + (1.0 - is_last_all[k]) * u1
+            u1_list[k] = u1
+            v = e_all[k] * u1
+            sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
+            v_hat = m_all[k] * (v / sv) + (1.0 - m_all[k]) * v_hat
+        carry_v[:] = v_hat
+
+        a_all = jnp.stack(a_list)                       # (K, S, B)
+        norm_all = jnp.stack(norm_list)                 # (K, 1, B)
+        u1_all = jnp.stack(u1_list)                     # (K, S, B)
+        ab_all = a_all * u1_all
+        absum_all = ab_all.sum(1, keepdims=True)
+        gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_all
+        v_all = e_all * u1_all
+        sv_all = jnp.maximum(v_all.sum(1, keepdims=True), tiny)
+        w_all = v_all / sv_all
+        denom_all = norm_all * absum_all / sv_all
+        wgt_all = jnp.where(denom_all > 1e-30,
+                            m_all / jnp.maximum(denom_all, 1e-30), 0.0)
+        gamma_out[:] = gamma_all.astype(gamma_out.dtype)
+
+        # per-step selection products (contract S on the MXU) + ξ outer
+        # products (contract B); accumulation order differs from the
+        # batch-major kernel only in float summation order
+        xi_v = xi[:]
+        wsel_steps = [
+            _dot2_sel_lm(selc_ref[:], w_all[k]) for k in range(k_steps)
+        ]                                               # each (C, B)
+        usel_steps = [
+            _dot2_sel_lm(selr_ref[:], a_all[k]) for k in range(k_steps)
+        ]                                               # each (R, B)
+        for k in range(k_steps - 1):
+            uw = usel_steps[k] * wgt_all[k + 1]
+            xi_v = xi_v + jax.lax.dot_general(
+                uw, wsel_steps[k + 1],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+        xi_v = xi_v + jax.lax.dot_general(
+            usel_steps[k_steps - 1] * prev_wgt, prev_wsel,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        carry_wsel[:] = wsel_steps[0]
+        carry_wgt[:] = wgt_all[0]
+        xi[:] = xi_v
+        xi_out[:] = xi_v.astype(xi_out.dtype)
+
+    return kernel
+
+
+def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
+                                  sel_r_t, sel_c_t,
+                                  interpret: bool = False):
+    """Lane-major fused smoothing + restricted ξ from forward
+    checkpoints — the (S, B) mirror of
+    :func:`phone_loop_estep_ckpt_pass` (banded, γ-emitting).
+
+    Inputs: llh_lm (T, S, B); ckpts (n_blocks, S, B) from
+    :func:`forward_llh_ckpt_pass_lm`; final_vec (S, B);
+    sel_r_t/sel_c_t (n, S) one-hot selections (pre-transposed).
+    Returns (γ (T, S, B), xi_raw (n_r, n_c)).
+    """
+    t_len, s, b = llh_lm.shape
+    n_r, n_c = sel_r_t.shape[0], sel_c_t.shape[0]
+    dtype = llh_lm.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    n_blocks = t_pad // k_steps
+    if ckpts.shape[0] != n_blocks:
+        raise ValueError(
+            f"checkpoint count {ckpts.shape[0]} != n_blocks {n_blocks}")
+    llh_p = _pad_tm(llh_lm, t_pad, 0.0)
+    lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
+    band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
+    rev = lambda g: (n_blocks - 1 - g, 0, 0)
+    big = pl.BlockSpec((k_steps, s, b), rev, memory_space=pltpu.VMEM)
+    ckpt_spec = pl.BlockSpec((1, s, b), rev, memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    gamma, xi = pl.pallas_call(
+        _make_estep_ckpt_kernel_lm(k_steps, n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            big, const2((1, b)), ckpt_spec, const2((s, 4)),
+            const2((s, b)), const2((n_r, s)), const2((n_c, s)),
+        ],
+        out_specs=[big, const2((n_r, n_c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, s, b), dtype),
+            jax.ShapeDtypeStruct((n_r, n_c), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, b), jnp.float32),
+            pltpu.VMEM((n_c, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((n_r, n_c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or FORCE_INTERPRET,
+    )(llh_p, lens, ckpts, band_arr, final_vec, sel_r_t, sel_c_t)
+    return gamma[:t_len], xi
+
+
 def _make_estep_kernel(k_steps: int, n_blocks: int):
     """Fused phone-loop E-step epilogue: backward recursion + ALL
     accumulations in one kernel — nothing (B, T, S)-sized is written.

@@ -468,6 +468,57 @@ def phone_loop_estep_ckpt_banded(llh_tm, bands, ckpts, final_vec, mask,
 
 
 @jax.custom_vjp
+def forward_llh_ckpt_banded_lm(llh_lm, bands, trans, init_vec, mask):
+    """Lane-major (S, B) variant of :func:`forward_llh_ckpt_banded`:
+    at small state counts S pads to whole 128-lane groups in the
+    batch-major tiles (41% dead lanes at the bench S=150) while B fills
+    lanes exactly — the (S, B) orientation cuts the serial chains' VPU
+    work ~40% (tools/exp_lane_major.py).  ``llh_lm`` (T, S, B),
+    ``init_vec`` (S, B); returns (ckpts (n_blocks, S, B), last (S, B),
+    logz_base (B,)).  ``trans`` feeds only the custom_vjp recompute
+    (∂/∂llh, SVAE)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, init_vec, mask,
+    )
+
+
+def _fwd_llh_ckpt_banded_lm_fwd(*args):
+    return forward_llh_ckpt_banded_lm(*args), args
+
+
+def _fwd_llh_ckpt_banded_lm_bwd(res, ct):
+    llh_lm, bands, trans, init_vec, mask = res
+    ct_ckpts, ct_last, ct_logz = ct
+    _, vjp = jax.vjp(
+        _fwd_llh_ckpt_reference, jnp.swapaxes(llh_lm, 1, 2), trans,
+        init_vec.T, mask,
+    )
+    d_llh, d_trans, d_init, d_mask = vjp(
+        (jnp.swapaxes(ct_ckpts, 1, 2), ct_last.T, ct_logz))
+    return (jnp.swapaxes(d_llh, 1, 2), jax.tree.map(jnp.zeros_like, bands),
+            d_trans, d_init.T, d_mask)
+
+
+forward_llh_ckpt_banded_lm.defvjp(_fwd_llh_ckpt_banded_lm_fwd,
+                                  _fwd_llh_ckpt_banded_lm_bwd)
+
+
+def phone_loop_estep_ckpt_lm(llh_lm, bands, ckpts, final_vec, mask,
+                             sel_r_t, sel_c_t):
+    """Lane-major fused smoothing + restricted ξ
+    (:func:`pallas_scan.phone_loop_estep_ckpt_pass_lm`); pairs with
+    :func:`forward_llh_ckpt_banded_lm`.  Returns (γ (T, S, B),
+    xi_raw (n_r, n_c)).  Not differentiable (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, ckpts, bands, final_vec, mask, sel_r_t, sel_c_t,
+    )
+
+
+@jax.custom_vjp
 def forward_stats_ckpt(stats_tm, w, bias, trans, init_vec, mask):
     """Fused-ELLH checkpointed forward: streams the reduced sufficient
     statistics (T, B, P) and computes ``llh = stats @ W + bias`` on the

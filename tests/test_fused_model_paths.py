@@ -172,3 +172,95 @@ def test_svae_grad_through_fused_phone_loop(rng, force_interpret,
                     jax.tree.leaves(svae_g.nnet_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_phone_loop_lane_major_matches_general(rng, force_interpret,
+                                               monkeypatch):
+    """LANE_MAJOR=True routes the fused E-step through the (S, B)
+    kernels + accumulate_from_moments; results must match the general
+    path like the batch-major fused path does."""
+    from beer_tpu.models import phoneloop as phoneloop_mod
+
+    U, SPU, D, B, T = 3, 2, 3, 2, 17
+    S = U * SPU
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), S, cov_type="diagonal", noise_std=0.5,
+        key=jax.random.PRNGKey(1),
+    )
+    loop = PhoneLoop.create(U, SPU, nset)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 9:] = 0
+    mask = jnp.asarray(mask)
+
+    stats = loop.sufficient_statistics(x)
+    assert loop._fused_estep_ok()
+    monkeypatch.setattr(phoneloop_mod, "LANE_MAJOR", True)
+    logz_f, cache_f = loop.infer(stats, mask)
+    assert "llh_lm" in cache_f
+    acc_f = loop.accumulate(stats, cache_f)
+    monkeypatch.setattr(phoneloop_mod, "LANE_MAJOR", False)
+    logz_g, acc_g = _general_path(loop, stats, mask, monkeypatch)
+    np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
+                               rtol=2e-5, atol=1e-4)
+    _assert_acc_close(acc_f, acc_g)
+
+    # one full lane-major VB step == the general step
+    monkeypatch.setattr(phoneloop_mod, "LANE_MAJOR", True)
+    elbo_f, loop_f = vb_step(loop, x, mask=mask)
+    monkeypatch.setattr(phoneloop_mod, "LANE_MAJOR", False)
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            elbo_g, _ = vb_step(loop, x, mask=mask)
+        finally:
+            pallas_scan.available.cache_clear()
+    assert np.isfinite(float(elbo_f))
+    np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)
+
+
+def test_svae_grad_through_lane_major_phone_loop(rng, force_interpret,
+                                                 monkeypatch):
+    """SVAE gradients flow through forward_llh_ckpt_banded_lm's
+    custom_vjp and match the general path."""
+    import optax
+    from beer_tpu.models import phoneloop as phoneloop_mod
+    from beer_tpu.models.vae import SequenceVAE, make_vae_train_step
+
+    U, SPU, DZ, DX, B, T = 2, 2, 2, 3, 2, 9
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(DZ), jnp.eye(DZ), U * SPU, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(2),
+    )
+    loop = PhoneLoop.create(U, SPU, nset, self_loop=0.7)
+    svae = SequenceVAE.create(
+        obs_dim=DX, latent_dim=DZ, latent_model=loop, hidden=(8,),
+        nsamples=1, key=jax.random.PRNGKey(4),
+    )
+    x = jnp.asarray(rng.normal(size=(B, T, DX)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 5:] = 0
+    mask = jnp.asarray(mask)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(svae.nnet_params)
+
+    monkeypatch.setattr(phoneloop_mod, "LANE_MAJOR", True)
+    step = make_vae_train_step(tx)
+    elbo_f, svae_f, _ = step(svae, opt_state, x, jax.random.PRNGKey(0), mask)
+    monkeypatch.setattr(phoneloop_mod, "LANE_MAJOR", False)
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            step_g = make_vae_train_step(tx)
+            elbo_g, svae_g, _ = step_g(
+                svae, opt_state, x, jax.random.PRNGKey(0), mask
+            )
+        finally:
+            pallas_scan.available.cache_clear()
+    np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(svae_f.nnet_params),
+                    jax.tree.leaves(svae_g.nnet_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)

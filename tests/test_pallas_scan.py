@@ -535,3 +535,57 @@ def test_batch_chunked_ckpt_matches_unchunked(rng):
     c, last, z = pallas_scan.forward_llh_ckpt_pass(
         llh_tm, trans, iv, mask, interpret=True, batch_chunks=3)
     np.testing.assert_array_equal(np.asarray(z), np.asarray(z_ref))
+
+
+def test_lane_major_ckpt_matches_batch_major(rng):
+    """Lane-major (S, B) ckpt kernel pair == the batch-major kernels
+    with every per-frame array transposed (identical per-row
+    arithmetic; ξ differs only in float summation order)."""
+    b, t_len, n_units, spu = 16, 21, 4, 3
+    s = n_units * spu
+    ids = np.arange(s)
+    a_self = np.full(s, 0.6, np.float32)
+    a_adv = np.where(ids % spu != spu - 1, 0.4, 0.0).astype(np.float32)
+    exit_v = np.zeros(s, np.float32)
+    exit_v[ids % spu == spu - 1] = 0.2
+    w_v = np.zeros(s, np.float32)
+    w_raw = rng.random(n_units).astype(np.float32)
+    w_v[ids % spu == 0] = w_raw / w_raw.sum()
+    bands = tuple(jnp.asarray(v) for v in (a_self, a_adv, exit_v, w_v))
+
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    llh_tm = jnp.swapaxes(jnp.asarray(llh), 0, 1)      # (T, B, S)
+    llh_lm = jnp.swapaxes(llh_tm, 1, 2)                # (T, S, B)
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.asarray(exit_v), (b, s)).astype(jnp.float32)
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r = jax.nn.one_hot(rows, s, dtype=jnp.float32).T   # (S, U)
+    sel_c = jax.nn.one_hot(cols, s, dtype=jnp.float32).T
+
+    c_ref, last_ref, z_ref = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, None, iv, mask, interpret=True, bands=bands)
+    g_ref, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c_ref, None, fv, mask, sel_r, sel_c, interpret=True,
+        bands=bands)
+
+    c, last, z = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, iv.T, mask, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(c, 1, 2)), np.asarray(c_ref),
+        rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(last.T), np.asarray(last_ref),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-6)
+    g, xi = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, c, bands, fv.T, mask, sel_r.T, sel_c.T, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(g, 1, 2)), np.asarray(g_ref),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                               rtol=1e-4, atol=1e-5)

@@ -103,15 +103,51 @@ def make_fwd(chunks):
     return fwd
 
 
+def lm_fwd(llh_tm, mask, bands, iv, fv, sel_r, sel_c):
+    llh_lm = jnp.swapaxes(llh_tm, 1, 2)
+    ckpts, last, logz = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, tuple(bands[i] for i in range(4)), iv.T, mask)
+    return last.sum() + logz.sum() + ckpts[::7].sum()
+
+
+def lm_pair(llh_tm, mask, bands, iv, fv, sel_r, sel_c):
+    llh_lm = jnp.swapaxes(llh_tm, 1, 2)
+    bt = tuple(bands[i] for i in range(4))
+    ckpts, last, logz = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bt, iv.T, mask)
+    gamma, xi = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, ckpts, bt, fv.T, mask, sel_r.T, sel_c.T)
+    return (last.sum() + logz.sum() + gamma[::97].sum() + xi.sum())
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     args = make_inputs()
     for chunks in (1, 2, 4, 8):
         dt = timeit(make_fwd(chunks), args)
         print(f"forward  C={chunks}: {dt*1e3:7.3f} ms", flush=True)
+    # NOTE: the lane-major runs pay an input transpose of the llh
+    # stream inside the timed region (production produces llh lane-major
+    # for free via the ELLH einsum) — subtract the transpose line.
+    @jax.jit
+    def transpose_only(llh_tm):
+        return jnp.swapaxes(llh_tm, 1, 2).sum()
+    import time as _t
+    float(transpose_only(args[0]))
+    t0 = _t.time()
+    for _ in range(8):
+        float(transpose_only(args[0]))
+    print(f"llh transpose alone: {(_t.time()-t0)/8*1e3:7.3f} ms",
+          flush=True)
+    dt = timeit(lm_fwd, args)
+    print(f"forward  lane-major: {dt*1e3:7.3f} ms (incl. transpose)",
+          flush=True)
     for chunks in (1, 2, 4, 8):
         dt = timeit(make_pair(chunks), args)
         print(f"fwd+estep C={chunks}: {dt*1e3:7.3f} ms", flush=True)
+    dt = timeit(lm_pair, args)
+    print(f"fwd+estep lane-major: {dt*1e3:7.3f} ms (incl. transpose)",
+          flush=True)
 
 
 if __name__ == "__main__":
