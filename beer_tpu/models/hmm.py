@@ -34,6 +34,12 @@ from beer_tpu.models.graph import LOG_ZERO, CompiledGraph, Graph
 from beer_tpu.ops import semiring_scan
 
 
+def _lane_major() -> bool:
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.LANE_MAJOR
+
+
 def _promote(x: jnp.ndarray) -> jnp.ndarray:
     return x[None] if x.ndim == 2 else x
 
@@ -149,6 +155,34 @@ class HMM(DiscreteLatentModel):
             llh_tm = self.graph.expand_llh(per_pdf_tm)   # (T', B, S)
             tiny = jnp.finfo(dt).tiny
             trans = jnp.exp(log_trans)
+            if _lane_major():
+                # (S, B) orientation: at small state counts the
+                # batch-major tiles waste most of their 128-lane groups
+                # (see phoneloop.LANE_MAJOR); the llh/γ transposes are
+                # cheap exactly when S is small
+                llh_lm = jnp.swapaxes(llh_tm, 1, 2)      # (T', S, B)
+                init_lm = jnp.broadcast_to(
+                    jnp.exp(jnp.maximum(self.graph.log_init,
+                                        LOG_ZERO))[:, None], (s, b)
+                ).astype(dt)
+                final_lm = jnp.broadcast_to(
+                    jnp.exp(jnp.maximum(self.graph.log_final,
+                                        LOG_ZERO))[:, None], (s, b)
+                ).astype(dt)
+                ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt_lm(
+                    llh_lm, trans, init_lm, mask
+                )
+                log_z = logz_base + jnp.log(
+                    jnp.maximum((a_last * final_lm).sum(0), tiny)
+                )
+                log_z = log_z * (mask.sum(-1) > 0)
+                return log_z, {
+                    "llh_lm": llh_lm,
+                    "ckpts": ckpts,
+                    "mask": mask,
+                    "final_lm": final_lm,
+                    "log_trans": log_trans,
+                }
             init_vec = jnp.broadcast_to(
                 jnp.exp(jnp.maximum(self.graph.log_init, LOG_ZERO)), (b, s)
             ).astype(dt)
@@ -195,11 +229,19 @@ class HMM(DiscreteLatentModel):
         """Full-ξ checkpointed kernel: γ + Σ_t weight·α̂⊗ŵ in one pass
         (no α̂/β̂/w streams); transition counts = xi_raw ⊙ exp(log A)."""
         sg = jax.lax.stop_gradient
-        gamma_tm, xi_raw = semiring_scan.hmm_estep_ckpt(
-            sg(cache["llh_tm"]), sg(cache["ckpts"]),
-            sg(jnp.exp(cache["log_trans"])), sg(cache["final_vec"]),
-            sg(cache["mask"]),
-        )
+        if "llh_lm" in cache:
+            gamma_lm, xi_raw = semiring_scan.hmm_estep_ckpt_lm(
+                sg(cache["llh_lm"]), sg(cache["ckpts"]),
+                sg(jnp.exp(cache["log_trans"])), sg(cache["final_lm"]),
+                sg(cache["mask"]),
+            )
+            gamma_tm = jnp.swapaxes(gamma_lm, 1, 2)      # (T', B, S)
+        else:
+            gamma_tm, xi_raw = semiring_scan.hmm_estep_ckpt(
+                sg(cache["llh_tm"]), sg(cache["ckpts"]),
+                sg(jnp.exp(cache["log_trans"])), sg(cache["final_vec"]),
+                sg(cache["mask"]),
+            )
         t_pad, b, s = gamma_tm.shape
         identity_pdfs = False
         if self.graph.n_pdfs == s:

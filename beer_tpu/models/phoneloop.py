@@ -51,11 +51,18 @@ _BANDED_MIN_STATES = 384
 # S=150) while the serial chains are ~all VPU ops; the (S, B)
 # orientation puts B on the lanes (exact fill at B=512) and S on
 # sublanes (1.3% pad), cutting the chains' VPU work ~40%
-# (tools/exp_lane_major.py).  Module-level so tests/benchmarks can flip
-# it; the env var sets the session default.
-import os as _os
+# (tools/exp_lane_major.py).  Single source of truth:
+# ``pallas_scan.LANE_MAJOR`` (BEER_LANE_MAJOR env), consulted at trace
+# time via this module-level proxy so tests can flip either name.
 
-LANE_MAJOR = _os.environ.get("BEER_LANE_MAJOR", "0") == "1"
+
+def _lane_major() -> bool:
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.LANE_MAJOR or LANE_MAJOR
+
+
+LANE_MAJOR = False
 
 
 @struct.dataclass
@@ -275,7 +282,7 @@ class PhoneLoop(DiscreteLatentModel):
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         if self._fused_estep_ok():
             graph = self._effective_graph()
-            if LANE_MAJOR:
+            if _lane_major():
                 return self._infer_fused_lm(stats, mask, graph)
             # transpose the (smaller) stats once and compute llh with one
             # XLA matmul; streaming llh into the kernels beats computing

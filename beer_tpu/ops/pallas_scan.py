@@ -72,6 +72,14 @@ _VMEM_BUDGET = 80 * 1024 * 1024
 # ξ/accumulator reductions change summation order (≈1e-7 relative).
 BATCH_CHUNKS = int(os.environ.get("BEER_SCAN_BATCH_CHUNKS", "1"))
 
+# Route the models' fused E-steps through the lane-major (S, B) kernel
+# variants (see the lane-major section below): at small state counts the
+# batch-major (B, S) tiles pad S up to whole 128-lane groups (41% dead
+# lanes at S=150, 77% at S=30) while the serial chains are ~all VPU ops.
+# Module-level so tests/benchmarks can flip it; consulted by
+# PhoneLoop.infer / HMM.infer at trace time.
+LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "0") == "1"
+
 
 def _resolve_chunks(batch_chunks, b):
     """Per-call chunk count: must divide B into sublane-aligned (×8)
@@ -1456,9 +1464,24 @@ def _dot2_sel_lm(sel_t, x):
     )
 
 
-def _make_fwd_llh_ckpt_kernel_lm(k_steps):
-    """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel` (banded
-    only): identical per-row arithmetic on (S, B) tiles."""
+def _dot3_lm(t_hi, t_lo, p):
+    """Aᵀ @ p in 3 bf16 MXU passes on lane-major (S, B) carries — the
+    mirror of :func:`_dot3` (same three hi/lo cross terms, with the
+    changing carry on the rhs).  ``t_hi/t_lo`` from
+    :func:`_split_bf16` of the (S, S) matrix (hoisted)."""
+    p_hi, p_lo = _split_bf16(p)
+    return (
+        jnp.dot(t_hi, p_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(t_lo, p_hi, preferred_element_type=jnp.float32)
+        + jnp.dot(t_hi, p_lo, preferred_element_type=jnp.float32)
+    )
+
+
+def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
+    """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel`:
+    identical per-row arithmetic on (S, B) tiles.  ``banded=False``
+    takes the TRANSPOSED dense (S, S) matrix (α column-vector
+    convention: α_t = Aᵀ α_{t-1} ⊙ e_t)."""
 
     def kernel(llh_ref, len_ref, band_ref, init_ref,
                ckpt_out, last_out, logz_out, carry_p, carry_z):
@@ -1472,7 +1495,11 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps):
 
         p = carry_p[:]
         ckpt_out[0] = p.astype(ckpt_out.dtype)
-        propagate, _ = _band_propagators_lm(band_ref)
+        if banded:
+            propagate, _ = _band_propagators_lm(band_ref)
+        else:
+            t_hi, t_lo = _split_bf16(band_ref[:])   # (S, S) = transᵀ
+            propagate = lambda q: _dot3_lm(t_hi, t_lo, q)
         t0 = (pid * k_steps).astype(jnp.float32)
         m_all = _block_masks_lm(len_ref, t0, k_steps)
         e_all, mllh_all = _exp_block_lm(
@@ -1503,22 +1530,28 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps):
 
 
 def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
-                             interpret: bool = False):
+                             interpret: bool = False, trans=None):
     """Lane-major scaled forward with block-entry checkpoints.
 
     Inputs: llh_lm (T, S, B) time-major LANE-MAJOR log-likelihoods;
-    bands the (a_self, a_adv, exit, w) tuple of (S,) vectors; init_vec
-    (S, B); mask (B, T) prefix masks.  Returns (ckpts (n_blocks, S, B),
-    last (S, B), logz_base (B,)) — same semantics as
-    :func:`forward_llh_ckpt_pass` with every per-frame array transposed.
+    bands the (a_self, a_adv, exit, w) tuple of (S,) vectors — or
+    ``bands=None, trans=(S, S)`` for a dense transition matrix;
+    init_vec (S, B); mask (B, T) prefix masks.  Returns
+    (ckpts (n_blocks, S, B), last (S, B), logz_base (B,)) — same
+    semantics as :func:`forward_llh_ckpt_pass` with every per-frame
+    array transposed.
     """
+    banded = bands is not None
     t_len, s, b = llh_lm.shape
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
     llh_p = _pad_tm(llh_lm, t_pad, 0.0)
     lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
     n_blocks = t_pad // k_steps
-    band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
+    if banded:
+        band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
+    else:
+        band_arr = trans.T.astype(jnp.float32)         # (S, S)
     idx = lambda t: (t, 0, 0)
     big_one = pl.BlockSpec((1, s, b), idx, memory_space=pltpu.VMEM)
     fixed_one = pl.BlockSpec((1, s, b), lambda t: (0, 0, 0),
@@ -1529,11 +1562,11 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
     ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel_lm(k_steps),
+        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((k_steps, s, b), idx, memory_space=pltpu.VMEM),
-            const2((1, b)), const2((s, 4)), const2((s, b)),
+            const2((1, b)), const2(band_arr.shape), const2((s, b)),
         ],
         out_specs=[big_one, fixed_one, fixed_small],
         out_shape=[
@@ -1553,15 +1586,32 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
     return (ckpts, last[0], logz[0, 0])
 
 
-def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int):
-    """Lane-major mirror of :func:`_make_estep_ckpt_kernel` (banded,
-    γ-emitting, restricted ξ): identical per-row arithmetic on (S, B)
-    tiles; the selection products contract the state (sublane) dim on
-    the MXU, the ξ outer products contract the batch (lane) dim."""
+def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
+                               banded: bool = True,
+                               full_xi: bool = False):
+    """Lane-major mirror of :func:`_make_estep_ckpt_kernel`
+    (γ-emitting): identical per-row arithmetic on (S, B) tiles; the
+    selection products contract the state (sublane) dim on the MXU, the
+    ξ outer products contract the batch (lane) dim.  ``banded=False``
+    takes TWO dense (S, S) matrices (transᵀ for the α̂ recompute, trans
+    for the v-space backward); ``full_xi`` = identity selections
+    (general-HMM (S, S) ξ)."""
 
-    def kernel(llh_ref, len_ref, ckpt_ref, band_ref, final_ref,
-               selr_ref, selc_ref, gamma_out, xi_out,
-               carry_v, carry_wsel, carry_wgt, xi):
+    def kernel(*refs):
+        if banded:
+            (llh_ref, len_ref, ckpt_ref, band_ref, final_ref) = refs[:5]
+            rest = refs[5:]
+            trans_t_ref = None
+        else:
+            (llh_ref, len_ref, ckpt_ref, band_ref, trans_t_ref,
+             final_ref) = refs[:6]
+            rest = refs[6:]
+        if full_xi:
+            selr_ref = selc_ref = None
+        else:
+            selr_ref, selc_ref = rest[:2]
+            rest = rest[2:]
+        (gamma_out, xi_out, carry_v, carry_wsel, carry_wgt, xi) = rest
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -1583,7 +1633,14 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int):
         v_hat = carry_v[:]
         prev_wsel = carry_wsel[:]
         prev_wgt = carry_wgt[:]
-        propagate, propagate_t = _band_propagators_lm(band_ref)
+        if banded:
+            propagate, propagate_t = _band_propagators_lm(band_ref)
+        else:
+            # fwd: α = Aᵀ α (band_ref holds Aᵀ); bwd: u = A v̂
+            ft_hi, ft_lo = _split_bf16(band_ref[:])
+            bt_hi, bt_lo = _split_bf16(trans_t_ref[:])
+            propagate = lambda q: _dot3_lm(ft_hi, ft_lo, q)
+            propagate_t = lambda q: _dot3_lm(bt_hi, bt_lo, q)
         final = final_ref[:].astype(jnp.float32)
         hi = jax.lax.Precision.HIGHEST
         is_last_all = m_all * (1.0 - mn_all)
@@ -1631,12 +1688,17 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int):
         # products (contract B); accumulation order differs from the
         # batch-major kernel only in float summation order
         xi_v = xi[:]
-        wsel_steps = [
-            _dot2_sel_lm(selc_ref[:], w_all[k]) for k in range(k_steps)
-        ]                                               # each (C, B)
-        usel_steps = [
-            _dot2_sel_lm(selr_ref[:], a_all[k]) for k in range(k_steps)
-        ]                                               # each (R, B)
+        if full_xi:
+            # identity selections: the ξ factors ARE the carries
+            wsel_steps = [w_all[k] for k in range(k_steps)]
+            usel_steps = [a_all[k] for k in range(k_steps)]
+        else:
+            wsel_steps = [
+                _dot2_sel_lm(selc_ref[:], w_all[k]) for k in range(k_steps)
+            ]                                           # each (C, B)
+            usel_steps = [
+                _dot2_sel_lm(selr_ref[:], a_all[k]) for k in range(k_steps)
+            ]                                           # each (R, B)
         for k in range(k_steps - 1):
             uw = usel_steps[k] * wgt_all[k + 1]
             xi_v = xi_v + jax.lax.dot_general(
@@ -1659,18 +1721,22 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int):
 
 def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
                                   sel_r_t, sel_c_t,
-                                  interpret: bool = False):
+                                  interpret: bool = False, trans=None):
     """Lane-major fused smoothing + restricted ξ from forward
     checkpoints — the (S, B) mirror of
-    :func:`phone_loop_estep_ckpt_pass` (banded, γ-emitting).
+    :func:`phone_loop_estep_ckpt_pass` (γ-emitting).
 
     Inputs: llh_lm (T, S, B); ckpts (n_blocks, S, B) from
     :func:`forward_llh_ckpt_pass_lm`; final_vec (S, B);
-    sel_r_t/sel_c_t (n, S) one-hot selections (pre-transposed).
+    sel_r_t/sel_c_t (n, S) one-hot selections (pre-transposed) — or
+    both ``None`` for full (S, S) ξ (identity selections, general HMM).
+    ``bands=None, trans=(S, S)`` selects the dense transition path.
     Returns (γ (T, S, B), xi_raw (n_r, n_c)).
     """
+    banded = bands is not None
+    full_xi = sel_r_t is None
     t_len, s, b = llh_lm.shape
-    n_r, n_c = sel_r_t.shape[0], sel_c_t.shape[0]
+    n_r, n_c = (s, s) if full_xi else (sel_r_t.shape[0], sel_c_t.shape[0])
     dtype = llh_lm.dtype
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
@@ -1680,20 +1746,31 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
             f"checkpoint count {ckpts.shape[0]} != n_blocks {n_blocks}")
     llh_p = _pad_tm(llh_lm, t_pad, 0.0)
     lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
-    band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
     big = pl.BlockSpec((k_steps, s, b), rev, memory_space=pltpu.VMEM)
     ckpt_spec = pl.BlockSpec((1, s, b), rev, memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [big, const2((1, b)), ckpt_spec]
+    args = [llh_p, lens, ckpts]
+    if banded:
+        band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
+        in_specs.append(const2((s, 4)))
+        args.append(band_arr)
+    else:
+        in_specs += [const2((s, s)), const2((s, s))]
+        args += [trans.T.astype(jnp.float32), trans.astype(jnp.float32)]
+    in_specs.append(const2((s, b)))
+    args.append(final_vec)
+    if not full_xi:
+        in_specs += [const2((n_r, s)), const2((n_c, s))]
+        args += [sel_r_t, sel_c_t]
     gamma, xi = pl.pallas_call(
-        _make_estep_ckpt_kernel_lm(k_steps, n_blocks),
+        _make_estep_ckpt_kernel_lm(k_steps, n_blocks, banded=banded,
+                                   full_xi=full_xi),
         grid=(n_blocks,),
-        in_specs=[
-            big, const2((1, b)), ckpt_spec, const2((s, 4)),
-            const2((s, b)), const2((n_r, s)), const2((n_c, s)),
-        ],
+        in_specs=in_specs,
         out_specs=[big, const2((n_r, n_c))],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, s, b), dtype),
@@ -1709,7 +1786,7 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret or FORCE_INTERPRET,
-    )(llh_p, lens, ckpts, band_arr, final_vec, sel_r_t, sel_c_t)
+    )(*args)
     return gamma[:t_len], xi
 
 

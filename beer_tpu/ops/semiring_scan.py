@@ -519,6 +519,51 @@ def phone_loop_estep_ckpt_lm(llh_lm, bands, ckpts, final_vec, mask,
 
 
 @jax.custom_vjp
+def forward_llh_ckpt_lm(llh_lm, trans, init_vec, mask):
+    """Lane-major (S, B) variant of :func:`forward_llh_ckpt` (dense
+    (S, S) transitions, general shared-graph HMM): at small state
+    counts the batch-major tiles waste most of their 128-lane groups
+    (S=30 → 77% dead lanes) — see :func:`forward_llh_ckpt_banded_lm`.
+    ``llh_lm`` (T, S, B), ``init_vec`` (S, B); returns
+    (ckpts (n_blocks, S, B), last (S, B), logz_base (B,))."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, None, init_vec, mask, trans=trans,
+    )
+
+
+def _fwd_llh_ckpt_lm_fwd(*args):
+    return forward_llh_ckpt_lm(*args), args
+
+
+def _fwd_llh_ckpt_lm_bwd(res, ct):
+    llh_lm, trans, init_vec, mask = res
+    ct_ckpts, ct_last, ct_logz = ct
+    _, vjp = jax.vjp(
+        _fwd_llh_ckpt_reference, jnp.swapaxes(llh_lm, 1, 2), trans,
+        init_vec.T, mask,
+    )
+    d_llh, d_trans, d_init, d_mask = vjp(
+        (jnp.swapaxes(ct_ckpts, 1, 2), ct_last.T, ct_logz))
+    return (jnp.swapaxes(d_llh, 1, 2), d_trans, d_init.T, d_mask)
+
+
+forward_llh_ckpt_lm.defvjp(_fwd_llh_ckpt_lm_fwd, _fwd_llh_ckpt_lm_bwd)
+
+
+def hmm_estep_ckpt_lm(llh_lm, ckpts, trans, final_vec, mask):
+    """Lane-major mirror of :func:`hmm_estep_ckpt`: full (S, S) ξ with
+    identity selections on (S, B) tiles.  Returns (γ (T, S, B),
+    xi_raw (S, S)).  Not differentiable (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, ckpts, None, final_vec, mask, None, None, trans=trans,
+    )
+
+
+@jax.custom_vjp
 def forward_stats_ckpt(stats_tm, w, bias, trans, init_vec, mask):
     """Fused-ELLH checkpointed forward: streams the reduced sufficient
     statistics (T, B, P) and computes ``llh = stats @ W + bias`` on the

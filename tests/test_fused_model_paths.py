@@ -264,3 +264,50 @@ def test_svae_grad_through_lane_major_phone_loop(rng, force_interpret,
                     jax.tree.leaves(svae_g.nnet_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_hmm_lane_major_matches_general(rng, force_interpret, monkeypatch):
+    """pallas_scan.LANE_MAJOR routes the HMM fused E-step through the
+    dense (S, B) kernels; results must match the general path."""
+    S, P, D, B, T = 8, 4, 3, 2, 21
+    g = graph_mod.Graph()
+    states = [g.add_state(i % P) for i in range(S)]
+    for s in states:
+        for t in states:
+            g.add_arc(s, t, 0.5 if s == t else 0.5 / (S - 1))
+        g.set_init(s)
+        g.set_final(s, 0.1)
+    g.normalize()
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), P, cov_type="diagonal", noise_std=0.5,
+        key=jax.random.PRNGKey(0),
+    )
+    hmm = HMM.create(g, nset, learn_transitions=True)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, 13:] = 0
+    mask = jnp.asarray(mask)
+
+    stats = hmm.sufficient_statistics(x)
+    assert hmm._fused_estep_ok()
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
+    logz_f, cache_f = hmm.infer(stats, mask)
+    assert "llh_lm" in cache_f
+    acc_f = hmm.accumulate(stats, cache_f)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", False)
+    logz_g, acc_g = _general_path(hmm, stats, mask, monkeypatch)
+    np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
+                               rtol=2e-5, atol=1e-4)
+    _assert_acc_close(acc_f, acc_g)
+
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
+    elbo_f, _ = vb_step(hmm, x, mask=mask)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", False)
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            elbo_g, _ = vb_step(hmm, x, mask=mask)
+        finally:
+            pallas_scan.available.cache_clear()
+    np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)

@@ -589,3 +589,44 @@ def test_lane_major_ckpt_matches_batch_major(rng):
         rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_lane_major_dense_full_xi_matches_batch_major(rng):
+    """Dense lane-major kernels (general shared-graph HMM: (S, S)
+    transitions, full-ξ identity selections) == the batch-major
+    kernels transposed."""
+    b, t_len, s = 16, 21, 6
+    lt, _, lf = random_hmm_params(rng, s, dtype=np.float32)
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    llh_tm = jnp.swapaxes(jnp.asarray(llh), 0, 1)
+    llh_lm = jnp.swapaxes(llh_tm, 1, 2)
+    trans = jnp.exp(jnp.asarray(lt))
+    iv = jnp.full((b, s), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.exp(jnp.asarray(lf)), (b, s)).astype(jnp.float32)
+
+    c_ref, last_ref, z_ref = pallas_scan.forward_llh_ckpt_pass(
+        llh_tm, trans, iv, mask, interpret=True)
+    g_ref, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass(
+        llh_tm, c_ref, trans, fv, mask, None, None, interpret=True)
+
+    c, last, z = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, None, iv.T, mask, interpret=True, trans=trans)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(c, 1, 2)), np.asarray(c_ref),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(last.T), np.asarray(last_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
+                               rtol=1e-5, atol=1e-5)
+    g, xi = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, c, None, fv.T, mask, None, None, interpret=True,
+        trans=trans)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(g, 1, 2)), np.asarray(g_ref),
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
+                               rtol=1e-4, atol=1e-5)
