@@ -866,10 +866,12 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
     def kernel(*refs):
         if fuse_ellh:
             (llh_ref, len_ref, w_ref, bias_ref, trans_ref, init_ref,
-             ckpt_out, last_out, logz_out, carry_p, carry_z) = refs
+             ckpt_out, last_out, logz_out, carry_p, carry_z,
+             carry_last) = refs
         else:
             (llh_ref, len_ref, trans_ref, init_ref,
-             ckpt_out, last_out, logz_out, carry_p, carry_z) = refs
+             ckpt_out, last_out, logz_out, carry_p, carry_z,
+             carry_last) = refs
             w_ref = bias_ref = None
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
@@ -878,6 +880,7 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
         def _():
             carry_p[:] = init_ref[:].astype(jnp.float32)
             carry_z[:] = jnp.zeros_like(carry_z)
+            carry_last[:] = jnp.zeros_like(carry_last)
 
         p = carry_p[:]
         ckpt_out[0] = p.astype(ckpt_out.dtype)       # block-entry carry
@@ -892,8 +895,10 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
         t0 = (pid * k_steps).astype(jnp.float32)
         # whole-block prologue — everything that doesn't consume the
         # carry is hoisted out of the serial chain (masks, scaled
-        # likelihoods); the chain keeps only {matmul, ⊙e, Σ, ÷, blend}
+        # likelihoods); the chain keeps only {matmul, ⊙e, Σ, ÷}
         m_all = _block_masks(len_ref, t0, k_steps)
+        mn_all = _block_masks(len_ref, t0, k_steps, shift=1)
+        is_last_all = m_all * (1.0 - mn_all)
         llh_blk = _llh_block(llh_ref, w_ref, bias_ref, fuse_ellh)
         llh_all = llh_blk if fuse_ellh else llh_ref[:].astype(jnp.float32)
         e_all, mllh_all = _exp_block(llh_all, m_all)
@@ -904,6 +909,12 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
         row = lambda c: slice(c * cb, (c + 1) * cb)
         ps = [p[row(c)] for c in range(n_chunks)] if n_chunks > 1 else [p]
         norms = [[] for _ in range(n_chunks)]
+        # NO mask blend in the chain: post-end rows drift (their γ/ξ
+        # consumers are masked; the ckpt recompute replays the same
+        # drift) and the exact α̂(len−1) each row needs for log Z is
+        # captured OUT of the chain by the is_last accumulation below —
+        # Σ_t is_last_t ⊙ α̂_t hits exactly once per live row
+        lasts = [0.0] * n_chunks
         for k in range(k_steps):
             for c in range(n_chunks):
                 pc = ps[c]
@@ -919,10 +930,17 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
                 keep = m_all[k, row(c)] if n_chunks > 1 else m_all[k]
                 if k == 0:
                     keep = jnp.where(pid == 0, 1.0, keep)
-                ps[c] = keep * new_p + (1.0 - keep) * pc
+                ps[c] = new_p
+                il = is_last_all[k, row(c)] if n_chunks > 1 \
+                    else is_last_all[k]
+                lasts[c] = lasts[c] + il * new_p
                 norms[c].append(keep * norm + (1.0 - keep))
         p = jnp.concatenate(ps, 0) if n_chunks > 1 else ps[0]
         carry_p[:] = p
+        last_blk = (jnp.concatenate(lasts, 0) if n_chunks > 1
+                    else lasts[0])
+        last_acc = carry_last[:] + last_blk
+        carry_last[:] = last_acc
         # per-step norms never reach HBM: log Z only needs their log-sum
         # (+ the rowmax shifts), a (B, 1) carry — and masked norms are 1,
         # so the log/sum runs vectorized AFTER the chain
@@ -930,7 +948,12 @@ def _make_fwd_llh_ckpt_kernel(k_steps, fuse_ellh: bool = False,
         logn = jnp.concatenate(logn, 0) if n_chunks > 1 else logn[0]
         z = carry_z[:] + logn + mllh_all.sum(0)
         carry_z[:] = z
-        last_out[0] = p.astype(last_out.dtype)
+        # zero-length rows never fire is_last: report their (frozen)
+        # init carry like the blended kernel did
+        lens = len_ref[:].astype(jnp.float32)
+        last_out[0] = jnp.where(
+            lens > 0, last_acc, init_ref[:].astype(jnp.float32)
+        ).astype(last_out.dtype)
         logz_out[0] = z.astype(logz_out.dtype)
 
     return kernel
@@ -1006,6 +1029,7 @@ def forward_llh_ckpt_pass(llh_tm, trans, init_vec, mask,
         scratch_shapes=[
             pltpu.VMEM((b, s), jnp.float32),
             pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, s), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -1489,7 +1513,8 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
     convention: α_t = Aᵀ α_{t-1} ⊙ e_t)."""
 
     def kernel(llh_ref, len_ref, band_ref, init_ref,
-               ckpt_out, last_out, logz_out, carry_p, carry_z):
+               ckpt_out, last_out, logz_out, carry_p, carry_z,
+               carry_last):
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -1497,6 +1522,7 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
         def _():
             carry_p[:] = init_ref[:].astype(jnp.float32)
             carry_z[:] = jnp.zeros_like(carry_z)
+            carry_last[:] = jnp.zeros_like(carry_last)
 
         p = carry_p[:]
         ckpt_out[0] = p.astype(ckpt_out.dtype)
@@ -1507,9 +1533,15 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
             propagate = lambda q: _dot3_lm(t_hi, t_lo, q)
         t0 = (pid * k_steps).astype(jnp.float32)
         m_all = _block_masks_lm(len_ref, t0, k_steps)
+        mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
+        is_last_all = m_all * (1.0 - mn_all)
         e_all, mllh_all = _exp_block_lm(
             llh_ref[:].astype(jnp.float32), m_all)
         norms = []
+        # no mask blend in the chain; exact α̂(len−1) captured out of
+        # the chain by the is_last accumulation (see the batch-major
+        # kernel's note)
+        last_blk = 0.0
         for k in range(k_steps):
             propagated = propagate(p)
             if k == 0:
@@ -1518,17 +1550,22 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
                 base = propagated
             raw = base * e_all[k]
             norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
-            new_p = raw / norm
+            p = raw / norm
             keep = m_all[k]
             if k == 0:
                 keep = jnp.where(pid == 0, 1.0, keep)
-            p = keep * new_p + (1.0 - keep) * p
+            last_blk = last_blk + is_last_all[k] * p
             norms.append(keep * norm + (1.0 - keep))
         carry_p[:] = p
+        last_acc = carry_last[:] + last_blk
+        carry_last[:] = last_acc
         z = carry_z[:] + jnp.log(jnp.stack(norms)).sum(0) \
             + mllh_all.sum(0)
         carry_z[:] = z
-        last_out[0] = p.astype(last_out.dtype)
+        lens = len_ref[:].astype(jnp.float32)
+        last_out[0] = jnp.where(
+            lens > 0, last_acc, init_ref[:].astype(jnp.float32)
+        ).astype(last_out.dtype)
         logz_out[0] = z.astype(logz_out.dtype)
 
     return kernel
@@ -1582,6 +1619,7 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
         scratch_shapes=[
             pltpu.VMEM((s, b), jnp.float32),
             pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((s, b), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

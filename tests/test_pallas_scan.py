@@ -181,7 +181,12 @@ def test_forward_llh_matches_reference(rng):
 
 
 def test_forward_llh_ckpt_matches_reference(rng):
-    """forward_llh_ckpt_pass == checkpoints sliced from the full pass."""
+    """forward_llh_ckpt_pass == checkpoints sliced from the full pass —
+    on the LIVE entries: the no-blend kernel lets rows drift past their
+    length (consumers are masked; the smoothing recompute replays the
+    same drift), so checkpoint g matches the frozen reference only for
+    rows with len ≥ g·K.  last (the is_last-accumulated α̂(len−1)) and
+    log Z match everywhere."""
     e_llh, trans, init, final, mask = make_case(rng)
     llh = jnp.log(jnp.maximum(e_llh, 1e-30)) - 3.0
     llh_tm = jnp.swapaxes(llh, 0, 1)
@@ -191,8 +196,14 @@ def test_forward_llh_ckpt_matches_reference(rng):
     c, last, z = pallas_scan.forward_llh_ckpt_pass(
         llh_tm, trans, init, mask, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
-                               rtol=1e-5, atol=1e-6)
+    t_len, b, s = llh_tm.shape
+    k = pallas_scan._steps_per_block(b, s)
+    lens = np.asarray(mask).sum(-1)
+    for g in range(c.shape[0]):
+        live = lens >= g * k
+        np.testing.assert_allclose(
+            np.asarray(c)[g][live], np.asarray(c_ref)[g][live],
+            rtol=1e-5, atol=1e-6, err_msg=f"ckpt block {g}")
     np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
@@ -363,8 +374,16 @@ def test_banded_ckpt_matches_dense(rng):
     c, last, z = pallas_scan.forward_llh_ckpt_pass(
         llh_tm, None, iv, mask, interpret=True, bands=bands
     )
-    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref),
-                               rtol=1e-5, atol=1e-6)
+    # ckpt entries for rows past their length drift freely (no-blend
+    # kernels) and banded/dense drift arithmetic differs — compare the
+    # live entries only (len ≥ g·K); last/log Z are exact everywhere
+    k_steps = pallas_scan._steps_per_block(b, s)
+    lens_np = np.asarray(mask).sum(-1)
+    for g in range(c.shape[0]):
+        live = lens_np >= g * k_steps
+        np.testing.assert_allclose(
+            np.asarray(c)[g][live], np.asarray(c_ref)[g][live],
+            rtol=1e-5, atol=1e-6, err_msg=f"ckpt block {g}")
     np.testing.assert_allclose(np.asarray(last), np.asarray(last_ref),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref),
