@@ -34,10 +34,10 @@ from beer_tpu.models.graph import LOG_ZERO, CompiledGraph, Graph
 from beer_tpu.ops import semiring_scan
 
 
-def _lane_major() -> bool:
+def _lane_major(b: int, s: int) -> bool:
     from beer_tpu.ops import pallas_scan
 
-    return pallas_scan.LANE_MAJOR
+    return pallas_scan.use_lane_major(b, s)
 
 
 def _promote(x: jnp.ndarray) -> jnp.ndarray:
@@ -155,7 +155,7 @@ class HMM(DiscreteLatentModel):
             llh_tm = self.graph.expand_llh(per_pdf_tm)   # (T', B, S)
             tiny = jnp.finfo(dt).tiny
             trans = jnp.exp(log_trans)
-            if _lane_major():
+            if _lane_major(b, s):
                 # (S, B) orientation: at small state counts the
                 # batch-major tiles waste most of their 128-lane groups
                 # (see phoneloop.LANE_MAJOR); the llh/γ transposes are

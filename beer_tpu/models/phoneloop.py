@@ -56,10 +56,10 @@ _BANDED_MIN_STATES = 384
 # time via this module-level proxy so tests can flip either name.
 
 
-def _lane_major() -> bool:
+def _lane_major(b: int, s: int) -> bool:
     from beer_tpu.ops import pallas_scan
 
-    return pallas_scan.LANE_MAJOR or LANE_MAJOR
+    return LANE_MAJOR or pallas_scan.use_lane_major(b, s)
 
 
 LANE_MAJOR = False
@@ -282,7 +282,7 @@ class PhoneLoop(DiscreteLatentModel):
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         if self._fused_estep_ok():
             graph = self._effective_graph()
-            if _lane_major():
+            if _lane_major(stats.shape[0], self.n_states):
                 return self._infer_fused_lm(stats, mask, graph)
             # transpose the (smaller) stats once and compute llh with one
             # XLA matmul; streaming llh into the kernels beats computing

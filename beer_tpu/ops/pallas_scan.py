@@ -76,9 +76,24 @@ BATCH_CHUNKS = int(os.environ.get("BEER_SCAN_BATCH_CHUNKS", "1"))
 # variants (see the lane-major section below): at small state counts the
 # batch-major (B, S) tiles pad S up to whole 128-lane groups (41% dead
 # lanes at S=150, 77% at S=30) while the serial chains are ~all VPU ops.
-# Module-level so tests/benchmarks can flip it; consulted by
-# PhoneLoop.infer / HMM.infer at trace time.
-LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "0") == "1"
+# "auto" picks the orientation with fewer f32 vregs per (B, S) value —
+# lane-major wins for big-batch/small-S shapes, batch-major for small
+# per-shard batches (e.g. B=64 dp shards).  Module-level so
+# tests/benchmarks can flip it; consulted by PhoneLoop.infer / HMM.infer
+# at trace time ("0" = off, "1" = always, "auto" = by shape).
+LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "0")
+
+
+def use_lane_major(b: int, s: int) -> bool:
+    """Trace-time orientation choice for the fused E-step kernels."""
+    mode = LANE_MAJOR
+    if mode in (True, "1", "true"):
+        return True
+    if mode == "auto":
+        bm_vregs = -(-b // 8) * -(-s // 128)
+        lm_vregs = -(-s // 8) * -(-b // 128)
+        return lm_vregs < bm_vregs
+    return False
 
 
 def _resolve_chunks(batch_chunks, b):
