@@ -96,11 +96,12 @@ def use_lane_major(b: int, s: int) -> bool:
     return False
 
 
-def _resolve_chunks(batch_chunks, b):
-    """Per-call chunk count: must divide B into sublane-aligned (×8)
-    slices; anything else falls back to the unchunked kernel."""
+def _resolve_chunks(batch_chunks, b, align=8):
+    """Per-call chunk count: must divide B into aligned slices (×8
+    sublanes batch-major, ×128 lanes lane-major); anything else falls
+    back to the unchunked kernel."""
     c = BATCH_CHUNKS if batch_chunks is None else batch_chunks
-    if c < 1 or b % c or (b // c) % 8:
+    if c < 1 or b % c or (b // c) % align:
         return 1
     return c
 
@@ -1521,11 +1522,13 @@ def _dot3_lm(t_hi, t_lo, p):
     )
 
 
-def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
+def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
+                                 n_chunks: int = 1):
     """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel`:
     identical per-row arithmetic on (S, B) tiles.  ``banded=False``
     takes the TRANSPOSED dense (S, S) matrix (α column-vector
-    convention: α_t = Aᵀ α_{t-1} ⊙ e_t)."""
+    convention: α_t = Aᵀ α_{t-1} ⊙ e_t).  ``n_chunks`` splits the
+    batch LANES into independent interleaved sub-chains."""
 
     def kernel(llh_ref, len_ref, band_ref, init_ref,
                ckpt_out, last_out, logz_out, carry_p, carry_z,
@@ -1552,30 +1555,44 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
         is_last_all = m_all * (1.0 - mn_all)
         e_all, mllh_all = _exp_block_lm(
             llh_ref[:].astype(jnp.float32), m_all)
-        norms = []
+        cb = p.shape[1] // n_chunks
+        col = lambda c: (slice(None), slice(c * cb, (c + 1) * cb))
+        ps = ([p[col(c)] for c in range(n_chunks)]
+              if n_chunks > 1 else [p])
+        norms = [[] for _ in range(n_chunks)]
         # no mask blend in the chain; exact α̂(len−1) captured out of
         # the chain by the is_last accumulation (see the batch-major
         # kernel's note)
-        last_blk = 0.0
+        lasts = [0.0] * n_chunks
         for k in range(k_steps):
-            propagated = propagate(p)
-            if k == 0:
-                base = jnp.where(pid == 0, p, propagated)
-            else:
-                base = propagated
-            raw = base * e_all[k]
-            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
-            p = raw / norm
-            keep = m_all[k]
-            if k == 0:
-                keep = jnp.where(pid == 0, 1.0, keep)
-            last_blk = last_blk + is_last_all[k] * p
-            norms.append(keep * norm + (1.0 - keep))
+            for c in range(n_chunks):
+                pc = ps[c]
+                propagated = propagate(pc)
+                if k == 0:
+                    base = jnp.where(pid == 0, pc, propagated)
+                else:
+                    base = propagated
+                e_k = e_all[k][col(c)] if n_chunks > 1 else e_all[k]
+                raw = base * e_k
+                norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+                pc = raw / norm
+                ps[c] = pc
+                keep = m_all[k][col(c)] if n_chunks > 1 else m_all[k]
+                if k == 0:
+                    keep = jnp.where(pid == 0, 1.0, keep)
+                il = (is_last_all[k][col(c)] if n_chunks > 1
+                      else is_last_all[k])
+                lasts[c] = lasts[c] + il * pc
+                norms[c].append(keep * norm + (1.0 - keep))
+        p = jnp.concatenate(ps, 1) if n_chunks > 1 else ps[0]
         carry_p[:] = p
+        last_blk = (jnp.concatenate(lasts, 1) if n_chunks > 1
+                    else lasts[0])
         last_acc = carry_last[:] + last_blk
         carry_last[:] = last_acc
-        z = carry_z[:] + jnp.log(jnp.stack(norms)).sum(0) \
-            + mllh_all.sum(0)
+        logn = [jnp.log(jnp.stack(ns)).sum(0) for ns in norms]
+        logn = jnp.concatenate(logn, 1) if n_chunks > 1 else logn[0]
+        z = carry_z[:] + logn + mllh_all.sum(0)
         carry_z[:] = z
         lens = len_ref[:].astype(jnp.float32)
         last_out[0] = jnp.where(
@@ -1587,7 +1604,8 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
 
 
 def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
-                             interpret: bool = False, trans=None):
+                             interpret: bool = False, trans=None,
+                             batch_chunks=None):
     """Lane-major scaled forward with block-entry checkpoints.
 
     Inputs: llh_lm (T, S, B) time-major LANE-MAJOR log-likelihoods;
@@ -1619,7 +1637,9 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
     ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded),
+        _make_fwd_llh_ckpt_kernel_lm(
+            k_steps, banded=banded,
+            n_chunks=_resolve_chunks(batch_chunks, b, align=128)),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((k_steps, s, b), idx, memory_space=pltpu.VMEM),
@@ -1646,7 +1666,8 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
 
 def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
                                banded: bool = True,
-                               full_xi: bool = False):
+                               full_xi: bool = False,
+                               n_chunks: int = 1):
     """Lane-major mirror of :func:`_make_estep_ckpt_kernel`
     (γ-emitting): identical per-row arithmetic on (S, B) tiles; the
     selection products contract the state (sublane) dim on the MXU, the
@@ -1687,10 +1708,6 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
         mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
         e_all, _ = _exp_block_lm(llh_ref[:].astype(jnp.float32), m_all)
 
-        p = ckpt_ref[0].astype(jnp.float32)
-        v_hat = carry_v[:]
-        prev_wsel = carry_wsel[:]
-        prev_wgt = carry_wgt[:]
         if banded:
             propagate, propagate_t = _band_propagators_lm(band_ref)
         else:
@@ -1702,77 +1719,110 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
         final = final_ref[:].astype(jnp.float32)
         hi = jax.lax.Precision.HIGHEST
         is_last_all = m_all * (1.0 - mn_all)
-        a_list, norm_list = [], []
-        u1_list = [None] * k_steps
+        cb = carry_v.shape[1] // n_chunks
+        col = lambda c: (slice(None), slice(c * cb, (c + 1) * cb))
+        cols = (lambda x, c: x) if n_chunks == 1 else (
+            lambda x, c: x[col(c)])
+        p_c = [cols(ckpt_ref[0].astype(jnp.float32), c)
+               for c in range(n_chunks)]
+        v_c = [cols(carry_v[:], c) for c in range(n_chunks)]
+        prev_wsel = carry_wsel[:]
+        prev_wgt = carry_wgt[:]
+        a_lists = [[] for _ in range(n_chunks)]
+        norm_lists = [[] for _ in range(n_chunks)]
+        u1_lists = [[None] * k_steps for _ in range(n_chunks)]
         for j in range(k_steps):
-            # no mask blends in either chain — bit-identical for live
-            # steps, post-end drift masked downstream (see the
-            # batch-major kernel's note)
-            propagated = propagate(p)
-            if j == 0:
-                base = jnp.where(first_time_block, p, propagated)
-            else:
-                base = propagated
-            raw = base * e_all[j]
-            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
-            p = raw / norm
-            keep = m_all[j]
-            if j == 0:
-                keep = jnp.where(first_time_block, 1.0, keep)
-            a_list.append(p)
-            norm_list.append(keep * norm + (1.0 - keep))
             k = k_steps - 1 - j
-            u1 = propagate_t(v_hat)
-            u1 = is_last_all[k] * final + (1.0 - is_last_all[k]) * u1
-            u1_list[k] = u1
-            v = e_all[k] * u1
-            sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
-            v_hat = v / sv
-        carry_v[:] = v_hat
+            for c in range(n_chunks):
+                # no mask blends in either chain — bit-identical for
+                # live steps, post-end drift masked downstream (see the
+                # batch-major kernel's note)
+                p = p_c[c]
+                propagated = propagate(p)
+                if j == 0:
+                    base = jnp.where(first_time_block, p, propagated)
+                else:
+                    base = propagated
+                raw = base * cols(e_all[j], c)
+                norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+                p_c[c] = raw / norm
+                keep = cols(m_all[j], c)
+                if j == 0:
+                    keep = jnp.where(first_time_block, 1.0, keep)
+                a_lists[c].append(p_c[c])
+                norm_lists[c].append(keep * norm + (1.0 - keep))
+                v_hat = v_c[c]
+                u1 = propagate_t(v_hat)
+                u1 = (cols(is_last_all[k], c) * cols(final, c)
+                      + (1.0 - cols(is_last_all[k], c)) * u1)
+                u1_lists[c][k] = u1
+                v = cols(e_all[k], c) * u1
+                sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
+                v_c[c] = v / sv
+        carry_v[:] = (v_c[0] if n_chunks == 1
+                      else jnp.concatenate(v_c, 1))
 
-        a_all = jnp.stack(a_list)                       # (K, S, B)
-        norm_all = jnp.stack(norm_list)                 # (K, 1, B)
-        u1_all = jnp.stack(u1_list)                     # (K, S, B)
-        ab_all = a_all * u1_all
-        absum_all = ab_all.sum(1, keepdims=True)
-        gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_all
-        v_all = e_all * u1_all
-        sv_all = jnp.maximum(v_all.sum(1, keepdims=True), tiny)
-        w_all = v_all / sv_all
-        denom_all = norm_all * absum_all / sv_all
-        wgt_all = jnp.where(denom_all > 1e-30,
-                            m_all / jnp.maximum(denom_all, 1e-30), 0.0)
-        gamma_out[:] = gamma_all.astype(gamma_out.dtype)
-
-        # per-step selection products (contract S on the MXU) + ξ outer
-        # products (contract B); accumulation order differs from the
-        # batch-major kernel only in float summation order
+        # vectorized epilogue, per chunk; ξ sums the chunks'
+        # contributions (float summation order only)
         xi_v = xi[:]
-        if full_xi:
-            # identity selections: the ξ factors ARE the carries
-            wsel_steps = [w_all[k] for k in range(k_steps)]
-            usel_steps = [a_all[k] for k in range(k_steps)]
-        else:
-            wsel_steps = [
-                _dot2_sel_lm(selc_ref[:], w_all[k]) for k in range(k_steps)
-            ]                                           # each (C, B)
-            usel_steps = [
-                _dot2_sel_lm(selr_ref[:], a_all[k]) for k in range(k_steps)
-            ]                                           # each (R, B)
-        for k in range(k_steps - 1):
-            uw = usel_steps[k] * wgt_all[k + 1]
+        wsel0_c, wgt0_c = [], []
+        for c in range(n_chunks):
+            a_all = jnp.stack(a_lists[c])               # (K, S, cb)
+            norm_all = jnp.stack(norm_lists[c])         # (K, 1, cb)
+            u1_all = jnp.stack(u1_lists[c])             # (K, S, cb)
+            m_blk = (m_all[..., c * cb:(c + 1) * cb]
+                     if n_chunks > 1 else m_all)
+            e_blk = (e_all[..., c * cb:(c + 1) * cb]
+                     if n_chunks > 1 else e_all)
+            ab_all = a_all * u1_all
+            absum_all = ab_all.sum(1, keepdims=True)
+            gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_blk
+            v_all = e_blk * u1_all
+            sv_all = jnp.maximum(v_all.sum(1, keepdims=True), tiny)
+            w_all = v_all / sv_all
+            denom_all = norm_all * absum_all / sv_all
+            wgt_all = jnp.where(denom_all > 1e-30,
+                                m_blk / jnp.maximum(denom_all, 1e-30), 0.0)
+            if n_chunks == 1:
+                gamma_out[:] = gamma_all.astype(gamma_out.dtype)
+            else:
+                gamma_out[:, :, c * cb:(c + 1) * cb] = gamma_all.astype(
+                    gamma_out.dtype)
+
+            # per-step selection products (contract S on the MXU) + ξ
+            # outer products (contract B)
+            if full_xi:
+                # identity selections: the ξ factors ARE the carries
+                wsel_steps = [w_all[k] for k in range(k_steps)]
+                usel_steps = [a_all[k] for k in range(k_steps)]
+            else:
+                wsel_steps = [
+                    _dot2_sel_lm(selc_ref[:], w_all[k])
+                    for k in range(k_steps)
+                ]                                       # each (C, cb)
+                usel_steps = [
+                    _dot2_sel_lm(selr_ref[:], a_all[k])
+                    for k in range(k_steps)
+                ]                                       # each (R, cb)
+            for k in range(k_steps - 1):
+                uw = usel_steps[k] * wgt_all[k + 1]
+                xi_v = xi_v + jax.lax.dot_general(
+                    uw, wsel_steps[k + 1],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi,
+                )
             xi_v = xi_v + jax.lax.dot_general(
-                uw, wsel_steps[k + 1],
+                usel_steps[k_steps - 1] * cols(prev_wgt, c),
+                cols(prev_wsel, c),
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=hi,
             )
-        xi_v = xi_v + jax.lax.dot_general(
-            usel_steps[k_steps - 1] * prev_wgt, prev_wsel,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=hi,
-        )
-        carry_wsel[:] = wsel_steps[0]
-        carry_wgt[:] = wgt_all[0]
+            wsel0_c.append(wsel_steps[0])
+            wgt0_c.append(wgt_all[0])
+        carry_wsel[:] = (wsel0_c[0] if n_chunks == 1
+                         else jnp.concatenate(wsel0_c, 1))
+        carry_wgt[:] = (wgt0_c[0] if n_chunks == 1
+                        else jnp.concatenate(wgt0_c, 1))
         xi[:] = xi_v
         xi_out[:] = xi_v.astype(xi_out.dtype)
 
@@ -1781,7 +1831,8 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
 
 def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
                                   sel_r_t, sel_c_t,
-                                  interpret: bool = False, trans=None):
+                                  interpret: bool = False, trans=None,
+                                  batch_chunks=None):
     """Lane-major fused smoothing + restricted ξ from forward
     checkpoints — the (S, B) mirror of
     :func:`phone_loop_estep_ckpt_pass` (γ-emitting).
@@ -1827,8 +1878,9 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
         in_specs += [const2((n_r, s)), const2((n_c, s))]
         args += [sel_r_t, sel_c_t]
     gamma, xi = pl.pallas_call(
-        _make_estep_ckpt_kernel_lm(k_steps, n_blocks, banded=banded,
-                                   full_xi=full_xi),
+        _make_estep_ckpt_kernel_lm(
+            k_steps, n_blocks, banded=banded, full_xi=full_xi,
+            n_chunks=_resolve_chunks(batch_chunks, b, align=128)),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[big, const2((n_r, n_c))],

@@ -609,6 +609,14 @@ def test_lane_major_ckpt_matches_batch_major(rng):
     np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
                                rtol=1e-4, atol=1e-5)
 
+    # lane-chunked lm kernels (b=16 < 2·128 → resolver falls back to 1;
+    # force alignment by monkey-free direct call with a 128-wide fake):
+    # instead validate the resolver fallback path keeps outputs equal
+    c2, last2, z2 = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, iv.T, mask, interpret=True, batch_chunks=2)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c))
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z))
+
 
 def test_lane_major_dense_full_xi_matches_batch_major(rng):
     """Dense lane-major kernels (general shared-graph HMM: (S, S)
@@ -649,3 +657,47 @@ def test_lane_major_dense_full_xi_matches_batch_major(rng):
         rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_lane_major_lane_chunked_matches_unchunked(rng):
+    """Lane-chunked lm kernels (batch lanes split into independent
+    sub-chains, cb=128-aligned) == unchunked lm kernels."""
+    b, t_len, n_units, spu = 256, 9, 2, 3
+    s = n_units * spu
+    ids = np.arange(s)
+    a_self = np.full(s, 0.6, np.float32)
+    a_adv = np.where(ids % spu != spu - 1, 0.4, 0.0).astype(np.float32)
+    exit_v = np.zeros(s, np.float32)
+    exit_v[ids % spu == spu - 1] = 0.2
+    w_v = np.zeros(s, np.float32)
+    w_v[ids % spu == 0] = 1.0 / n_units
+    bands = tuple(jnp.asarray(v) for v in (a_self, a_adv, exit_v, w_v))
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    llh_lm = jnp.swapaxes(jnp.swapaxes(jnp.asarray(llh), 0, 1), 1, 2)
+    iv = jnp.full((s, b), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.asarray(exit_v)[:, None], (s, b)).astype(
+        jnp.float32)
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r_t = jax.nn.one_hot(rows, s, dtype=jnp.float32)
+    sel_c_t = jax.nn.one_hot(cols, s, dtype=jnp.float32)
+
+    c1, last1, z1 = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, iv, mask, interpret=True)
+    g1, xi1 = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, c1, bands, fv, mask, sel_r_t, sel_c_t, interpret=True)
+    c2, last2, z2 = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, iv, mask, interpret=True, batch_chunks=2)
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(last2), np.asarray(last1))
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z1))
+    g2, xi2 = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, c2, bands, fv, mask, sel_r_t, sel_c_t, interpret=True,
+        batch_chunks=2)
+    np.testing.assert_array_equal(np.asarray(g2), np.asarray(g1))
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi1),
+                               rtol=1e-5, atol=1e-6)

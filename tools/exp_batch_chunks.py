@@ -110,14 +110,17 @@ def lm_fwd(llh_tm, mask, bands, iv, fv, sel_r, sel_c):
     return last.sum() + logz.sum() + ckpts[::7].sum()
 
 
-def lm_pair(llh_tm, mask, bands, iv, fv, sel_r, sel_c):
-    llh_lm = jnp.swapaxes(llh_tm, 1, 2)
-    bt = tuple(bands[i] for i in range(4))
-    ckpts, last, logz = pallas_scan.forward_llh_ckpt_pass_lm(
-        llh_lm, bt, iv.T, mask)
-    gamma, xi = pallas_scan.phone_loop_estep_ckpt_pass_lm(
-        llh_lm, ckpts, bt, fv.T, mask, sel_r.T, sel_c.T)
-    return (last.sum() + logz.sum() + gamma[::97].sum() + xi.sum())
+def make_lm_pair(chunks):
+    def lm_pair(llh_tm, mask, bands, iv, fv, sel_r, sel_c):
+        llh_lm = jnp.swapaxes(llh_tm, 1, 2)
+        bt = tuple(bands[i] for i in range(4))
+        ckpts, last, logz = pallas_scan.forward_llh_ckpt_pass_lm(
+            llh_lm, bt, iv.T, mask, batch_chunks=chunks)
+        gamma, xi = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+            llh_lm, ckpts, bt, fv.T, mask, sel_r.T, sel_c.T,
+            batch_chunks=chunks)
+        return (last.sum() + logz.sum() + gamma[::97].sum() + xi.sum())
+    return lm_pair
 
 
 def main():
@@ -145,9 +148,10 @@ def main():
     for chunks in (1, 2, 4, 8):
         dt = timeit(make_pair(chunks), args)
         print(f"fwd+estep C={chunks}: {dt*1e3:7.3f} ms", flush=True)
-    dt = timeit(lm_pair, args)
-    print(f"fwd+estep lane-major: {dt*1e3:7.3f} ms (incl. transpose)",
-          flush=True)
+    for chunks in (1, 2, 4):
+        dt = timeit(make_lm_pair(chunks), args)
+        print(f"fwd+estep lane-major C={chunks}: {dt*1e3:7.3f} ms "
+              "(incl. transpose)", flush=True)
 
 
 if __name__ == "__main__":
