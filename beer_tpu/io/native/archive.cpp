@@ -102,6 +102,9 @@ void* bar_open(const char* path) {
         static_cast<uint64_t>(info.n_frames) * info.dim * sizeof(float);
     if (info.offset > ar->size || nbytes > ar->size - info.offset)
       return fail();
+    // bar_read_batch copies frames * utts[0].dim from every utterance —
+    // a mixed-dim archive would read past an utterance's data
+    if (!ar->utts.empty() && info.dim != ar->utts[0].dim) return fail();
     ar->utts.push_back(std::move(info));
   }
   return ar;
