@@ -24,10 +24,72 @@ GROUPS = {
 _TPU_WORTHY = {("hmm", "train"), ("shmm", "train")}
 
 
+def _tpu_reachable(timeout: float = 90.0) -> bool:
+    """Probe accelerator init in a SUBPROCESS with a hard timeout.
+
+    A dead remote-TPU tunnel makes ``jax.devices()`` block forever
+    inside backend init (no socket timeout) — probing in-process would
+    hang the CLI exactly like the bug this guards against.  Results are
+    cached on disk (negative 5 min, positive 30 min) so recipes that
+    invoke the CLI many times don't pay the probe per stage.  Skippable
+    with BEER_NO_TPU_PROBE=1 (e.g. real local accelerators)."""
+    import json
+    import os
+    import subprocess
+    import tempfile
+    import time
+
+    if os.environ.get("BEER_NO_TPU_PROBE") == "1":
+        return True
+    cache = os.path.join(tempfile.gettempdir(), "beer_tpu_probe.json")
+    now = time.time()
+    try:
+        with open(cache) as fh:
+            st = json.load(fh)
+        ttl = 1800 if st["ok"] else 300
+        if now - st["ts"] < ttl:
+            return st["ok"]
+    except Exception:
+        pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True,
+        )
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    try:
+        with open(cache, "w") as fh:
+            json.dump({"ok": ok, "ts": now}, fh)
+    except Exception:
+        pass
+    return ok
+
+
 def _apply_device(args) -> None:
     device = getattr(args, "device", "auto")
-    if device == "auto":
+    auto = device == "auto"
+    if auto:
         device = "tpu" if (args.group, args.command) in _TPU_WORTHY else "cpu"
+    if device == "tpu" and "jax" in sys.modules:
+        import jax
+
+        if jax.config.jax_platforms == "cpu":
+            # the embedding process (tests, library callers) already
+            # pinned CPU — accelerator routing is moot, skip the probe
+            device = "cpu"
+    if device == "tpu" and not _tpu_reachable():
+        if not auto:
+            raise SystemExit(
+                "--device tpu: accelerator backend did not initialize "
+                "within 90 s (tunnel down?)"
+            )
+        print(
+            "warning: accelerator backend unreachable (tunnel down?) — "
+            "falling back to CPU", file=sys.stderr,
+        )
+        device = "cpu"
     if device == "cpu":
         import jax
 

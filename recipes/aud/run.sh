@@ -21,6 +21,8 @@ cd "$(dirname "$0")"
 
 work=${1:-exp}
 stage_mark() { echo "=== stage $1: $2"; }
+# run from a bare checkout: make beer_tpu importable without pip install
+export PYTHONPATH="$(cd ../.. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
 beer() { python -m beer_tpu.cli "$@" ${BEER_DEVICE:+--device "$BEER_DEVICE"}; }
 
 mkdir -p "$work"
