@@ -119,14 +119,17 @@ class HMM(DiscreteLatentModel):
 
     def _fused_estep_ok(self) -> bool:
         """Checkpointed fused E-step kernels (full (S, S) ξ variant):
-        TPU + one shared graph (per-utterance graphs fall back to the
-        batched general path)."""
+        TPU + one shared (S, S) transition matrix.  Per-utterance
+        ``pdf_ids`` / ``log_final`` (the shared transcription-graph fast
+        path, ``graph.transcription_graphs(shared=True)``) are fine —
+        the kernels take per-row init/final vectors and the pdf map is
+        a batched selection matmul; only per-utterance (B, S, S)
+        transition MATRICES fall back to the general batched path."""
         from beer_tpu.ops import pallas_scan
 
         return (
             pallas_scan.available()
             and self.graph.log_trans.ndim == 2
-            and self.graph.pdf_ids.ndim == 1
         )
 
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -152,25 +155,37 @@ class HMM(DiscreteLatentModel):
                 mask = jnp.concatenate([
                     mask, jnp.zeros((b, t_pad - t_len), mask.dtype)
                 ], axis=1)
-            llh_tm = self.graph.expand_llh(per_pdf_tm)   # (T', B, S)
+            if self.graph.pdf_ids.ndim == 2:
+                # per-utterance pdf maps (shared transcription graphs):
+                # batched selection matmul in the time-major layout
+                one_hot = jax.nn.one_hot(
+                    self.graph.pdf_ids, self.graph.n_pdfs, dtype=dt
+                )                                        # (B, S, P)
+                llh_tm = jnp.einsum(
+                    "tbp,bsp->tbs", per_pdf_tm, one_hot,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            else:
+                llh_tm = self.graph.expand_llh(per_pdf_tm)  # (T', B, S)
             tiny = jnp.finfo(dt).tiny
             trans = jnp.exp(log_trans)
+            # (S,) shared or (B, S) per-utterance init/final both
+            # broadcast to the kernels' per-row (b, s) vectors
+            init_vec = jnp.broadcast_to(
+                jnp.exp(jnp.maximum(self.graph.log_init, LOG_ZERO)), (b, s)
+            ).astype(dt)
+            final_vec = jnp.broadcast_to(
+                jnp.exp(jnp.maximum(self.graph.log_final, LOG_ZERO)), (b, s)
+            ).astype(dt)
             if _lane_major(b, s):
                 # (S, B) orientation: at small state counts the
                 # batch-major tiles waste most of their 128-lane groups
-                # (see phoneloop.LANE_MAJOR); the llh/γ transposes are
-                # cheap exactly when S is small
+                # (see pallas_scan.LANE_MAJOR); the llh/γ transposes
+                # are cheap exactly when S is small
                 llh_lm = jnp.swapaxes(llh_tm, 1, 2)      # (T', S, B)
-                init_lm = jnp.broadcast_to(
-                    jnp.exp(jnp.maximum(self.graph.log_init,
-                                        LOG_ZERO))[:, None], (s, b)
-                ).astype(dt)
-                final_lm = jnp.broadcast_to(
-                    jnp.exp(jnp.maximum(self.graph.log_final,
-                                        LOG_ZERO))[:, None], (s, b)
-                ).astype(dt)
+                final_lm = final_vec.T
                 ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt_lm(
-                    llh_lm, trans, init_lm, mask
+                    llh_lm, trans, init_vec.T, mask
                 )
                 log_z = logz_base + jnp.log(
                     jnp.maximum((a_last * final_lm).sum(0), tiny)
@@ -183,12 +198,6 @@ class HMM(DiscreteLatentModel):
                     "final_lm": final_lm,
                     "log_trans": log_trans,
                 }
-            init_vec = jnp.broadcast_to(
-                jnp.exp(jnp.maximum(self.graph.log_init, LOG_ZERO)), (b, s)
-            ).astype(dt)
-            final_vec = jnp.broadcast_to(
-                jnp.exp(jnp.maximum(self.graph.log_final, LOG_ZERO)), (b, s)
-            ).astype(dt)
             ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt(
                 llh_tm, trans, init_vec, mask
             )
@@ -244,7 +253,7 @@ class HMM(DiscreteLatentModel):
             )
         t_pad, b, s = gamma_tm.shape
         identity_pdfs = False
-        if self.graph.n_pdfs == s:
+        if self.graph.pdf_ids.ndim == 1 and self.graph.n_pdfs == s:
             try:                     # concrete (non-traced) pdf_ids only
                 import numpy as _np
 
@@ -255,6 +264,14 @@ class HMM(DiscreteLatentModel):
                 identity_pdfs = False
         if identity_pdfs:
             pdf_post = gamma_tm                    # identity pdf map
+        elif self.graph.pdf_ids.ndim == 2:
+            one_hot = jax.nn.one_hot(
+                self.graph.pdf_ids, self.graph.n_pdfs, dtype=gamma_tm.dtype
+            )                                      # (B, S, P)
+            pdf_post = jnp.einsum(
+                "tbs,bsp->tbp", gamma_tm, one_hot,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         else:
             one_hot = jax.nn.one_hot(
                 self.graph.pdf_ids, self.graph.n_pdfs, dtype=gamma_tm.dtype

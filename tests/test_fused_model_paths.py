@@ -311,3 +311,38 @@ def test_hmm_lane_major_matches_general(rng, force_interpret, monkeypatch):
         finally:
             pallas_scan.available.cache_clear()
     np.testing.assert_allclose(float(elbo_f), float(elbo_g), rtol=1e-4)
+
+
+def test_recognizer_fused_path_matches_general(rng, force_interpret,
+                                               monkeypatch):
+    """Shared transcription graphs (per-utterance pdf_ids/log_final, one
+    (S, S) matrix) route through the checkpointed fused kernels; log Z
+    and accumulated stats must match the general batched path."""
+    from tests.test_recognizer import (N_PHONES, STATES, make_corpus,
+                                       make_emissions)
+
+    rng2 = np.random.default_rng(7)
+    transcriptions, data, mask = make_corpus(rng2, n_utts=4, max_phones=4)
+    x, m = jnp.asarray(data, jnp.float32), jnp.asarray(mask, jnp.float32)
+    graphs = graph_mod.transcription_graphs(
+        transcriptions, N_PHONES, STATES, dtype=jnp.float32, shared=True)
+    hmm = HMM.create(graphs, make_emissions(data, mask))
+    stats = hmm.sufficient_statistics(x)
+    assert hmm._fused_estep_ok()
+    logz_f, cache_f = hmm.infer(stats, m)
+    assert "ckpts" in cache_f or "llh_lm" in cache_f
+    acc_f = hmm.accumulate(stats, cache_f)
+    logz_g, acc_g = _general_path(hmm, stats, m, monkeypatch)
+    np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
+                               rtol=2e-4, atol=5e-3)
+    _assert_acc_close(acc_f, acc_g)
+
+    # lane-major orientation over per-utterance graphs
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
+    logz_l, cache_l = hmm.infer(stats, m)
+    assert "llh_lm" in cache_l
+    acc_l = hmm.accumulate(stats, cache_l)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", "0")
+    np.testing.assert_allclose(np.asarray(logz_l), np.asarray(logz_g),
+                               rtol=2e-4, atol=5e-3)
+    _assert_acc_close(acc_l, acc_g)
