@@ -536,6 +536,16 @@ def main():
     args = ap.parse_args()
     wanted = set(args.configs.split(","))
 
+    # Fail FAST if the accelerator tunnel is dead: backend init would
+    # otherwise block forever inside jax.devices() and eat the caller's
+    # whole timeout (the CLI's subprocess probe, beer_tpu/cli/main.py).
+    from beer_tpu.cli.main import _tpu_reachable
+
+    if not _tpu_reachable(timeout=120.0):
+        print("bench: accelerator backend unreachable (tunnel down?)",
+              file=sys.stderr)
+        return 3
+
     data, mask = make_data()
     configs = {}
 
@@ -598,4 +608,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
