@@ -67,18 +67,23 @@ def _tpu_reachable(timeout: float = 90.0) -> bool:
     return ok
 
 
+def _platform_pinned_cpu() -> bool:
+    """True when the embedding process (tests, library callers) already
+    pinned ``jax_platforms=cpu`` — accelerator routing is then moot."""
+    if "jax" not in sys.modules:
+        return False
+    import jax
+
+    return jax.config.jax_platforms == "cpu"
+
+
 def _apply_device(args) -> None:
     device = getattr(args, "device", "auto")
     auto = device == "auto"
     if auto:
         device = "tpu" if (args.group, args.command) in _TPU_WORTHY else "cpu"
-    if device == "tpu" and "jax" in sys.modules:
-        import jax
-
-        if jax.config.jax_platforms == "cpu":
-            # the embedding process (tests, library callers) already
-            # pinned CPU — accelerator routing is moot, skip the probe
-            device = "cpu"
+    if device == "tpu" and _platform_pinned_cpu():
+        device = "cpu"
     if device == "tpu" and not _tpu_reachable():
         if not auto:
             raise SystemExit(
