@@ -62,8 +62,10 @@ FORCE_INTERPRET = os.environ.get("BEER_PALLAS_INTERPRET", "") == "1"
 STEPS_PER_BLOCK = 8
 _VMEM_BUDGET = 80 * 1024 * 1024
 
-# Default number of independent batch sub-chains inside the ckpt kernels'
-# serial recursions (overridable per call via ``batch_chunks=``).  Each
+# Default number of independent batch sub-chains inside the BATCH-MAJOR
+# ckpt kernels' serial recursions (overridable per call via
+# ``batch_chunks=``; the lane-major kernels ignore it — see
+# _make_fwd_llh_ckpt_kernel_lm).  Each
 # chunk advances its own carry, so the scheduler gets ``n_chunks``
 # independent dependency chains per serial step to overlap — the
 # latency-engineering lever named in docs/PERFORMANCE.md.  Per-row
@@ -81,7 +83,11 @@ BATCH_CHUNKS = int(os.environ.get("BEER_SCAN_BATCH_CHUNKS", "1"))
 # per-shard batches (e.g. B=64 dp shards).  Module-level so
 # tests/benchmarks can flip it; consulted by PhoneLoop.infer / HMM.infer
 # at trace time ("0" = off, "1" = always, "auto" = by shape).
-LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "0")
+# Default "auto": the on-chip gate run (tools/exp_batch_chunks.py,
+# v5e, B=512 T=500 S=150) measured the lane-major fused pair at
+# 1.05 ms vs 2.85 ms batch-major — the chains are VPU-throughput-bound,
+# exactly the dead-lane hypothesis (docs/PERFORMANCE.md).
+LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "auto")
 
 
 def use_lane_major(b: int, s: int) -> bool:
@@ -97,9 +103,10 @@ def use_lane_major(b: int, s: int) -> bool:
 
 
 def _resolve_chunks(batch_chunks, b, align=8):
-    """Per-call chunk count: must divide B into aligned slices (×8
-    sublanes batch-major, ×128 lanes lane-major); anything else falls
-    back to the unchunked kernel."""
+    """Per-call chunk count (batch-major kernels only — the lane-major
+    passes ignore the knob, see :func:`_make_fwd_llh_ckpt_kernel_lm`):
+    must divide B into ×8-sublane-aligned row slices; anything else
+    falls back to the unchunked kernel."""
     c = BATCH_CHUNKS if batch_chunks is None else batch_chunks
     if c < 1 or b % c or (b // c) % align:
         return 1
@@ -1522,13 +1529,19 @@ def _dot3_lm(t_hi, t_lo, p):
     )
 
 
-def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
-                                 n_chunks: int = 1):
+def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
     """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel`:
     identical per-row arithmetic on (S, B) tiles.  ``banded=False``
     takes the TRANSPOSED dense (S, S) matrix (α column-vector
-    convention: α_t = Aᵀ α_{t-1} ⊙ e_t).  ``n_chunks`` splits the
-    batch LANES into independent interleaved sub-chains."""
+    convention: α_t = Aᵀ α_{t-1} ⊙ e_t).
+
+    No lane-chunked variant: splitting the batch LANES into sub-chains
+    requires sublane broadcasts of lane-offset (1, cb) slices, which
+    Mosaic rejects on real TPUs ("invalid input layout"; XLA
+    canonicalizes the broadcast-then-slice workaround straight back),
+    and the on-chip gate run measured chunked recursions LOSING in both
+    orientations anyway (tools/exp_batch_chunks.py, v5e: batch-major
+    fwd C=2 0.84 ms vs C=1 0.70 ms) — so the knob is ignored here."""
 
     def kernel(llh_ref, len_ref, band_ref, init_ref,
                ckpt_out, last_out, logz_out, carry_p, carry_z,
@@ -1555,43 +1568,29 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
         is_last_all = m_all * (1.0 - mn_all)
         e_all, mllh_all = _exp_block_lm(
             llh_ref[:].astype(jnp.float32), m_all)
-        cb = p.shape[1] // n_chunks
-        col = lambda c: (slice(None), slice(c * cb, (c + 1) * cb))
-        ps = ([p[col(c)] for c in range(n_chunks)]
-              if n_chunks > 1 else [p])
-        norms = [[] for _ in range(n_chunks)]
+        norms = []
         # no mask blend in the chain; exact α̂(len−1) captured out of
         # the chain by the is_last accumulation (see the batch-major
         # kernel's note)
-        lasts = [0.0] * n_chunks
+        last_blk = 0.0
         for k in range(k_steps):
-            for c in range(n_chunks):
-                pc = ps[c]
-                propagated = propagate(pc)
-                if k == 0:
-                    base = jnp.where(pid == 0, pc, propagated)
-                else:
-                    base = propagated
-                e_k = e_all[k][col(c)] if n_chunks > 1 else e_all[k]
-                raw = base * e_k
-                norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
-                pc = raw / norm
-                ps[c] = pc
-                keep = m_all[k][col(c)] if n_chunks > 1 else m_all[k]
-                if k == 0:
-                    keep = jnp.where(pid == 0, 1.0, keep)
-                il = (is_last_all[k][col(c)] if n_chunks > 1
-                      else is_last_all[k])
-                lasts[c] = lasts[c] + il * pc
-                norms[c].append(keep * norm + (1.0 - keep))
-        p = jnp.concatenate(ps, 1) if n_chunks > 1 else ps[0]
+            propagated = propagate(p)
+            if k == 0:
+                base = jnp.where(pid == 0, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_all[k]
+            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+            p = raw / norm
+            keep = m_all[k]
+            if k == 0:
+                keep = jnp.where(pid == 0, 1.0, keep)
+            last_blk = last_blk + is_last_all[k] * p
+            norms.append(keep * norm + (1.0 - keep))
         carry_p[:] = p
-        last_blk = (jnp.concatenate(lasts, 1) if n_chunks > 1
-                    else lasts[0])
         last_acc = carry_last[:] + last_blk
         carry_last[:] = last_acc
-        logn = [jnp.log(jnp.stack(ns)).sum(0) for ns in norms]
-        logn = jnp.concatenate(logn, 1) if n_chunks > 1 else logn[0]
+        logn = jnp.log(jnp.stack(norms)).sum(0)
         z = carry_z[:] + logn + mllh_all.sum(0)
         carry_z[:] = z
         lens = len_ref[:].astype(jnp.float32)
@@ -1614,8 +1613,11 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
     init_vec (S, B); mask (B, T) prefix masks.  Returns
     (ckpts (n_blocks, S, B), last (S, B), logz_base (B,)) — same
     semantics as :func:`forward_llh_ckpt_pass` with every per-frame
-    array transposed.
+    array transposed.  ``batch_chunks`` is accepted for signature
+    parity with the batch-major pass but IGNORED — see the kernel
+    factory's docstring (Mosaic layout limit + measured loss).
     """
+    del batch_chunks
     banded = bands is not None
     t_len, s, b = llh_lm.shape
     k_steps = _steps_per_block(b, s)
@@ -1637,9 +1639,7 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
     ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel_lm(
-            k_steps, banded=banded,
-            n_chunks=_resolve_chunks(batch_chunks, b, align=128)),
+        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((k_steps, s, b), idx, memory_space=pltpu.VMEM),
@@ -1666,15 +1666,15 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
 
 def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
                                banded: bool = True,
-                               full_xi: bool = False,
-                               n_chunks: int = 1):
+                               full_xi: bool = False):
     """Lane-major mirror of :func:`_make_estep_ckpt_kernel`
     (γ-emitting): identical per-row arithmetic on (S, B) tiles; the
     selection products contract the state (sublane) dim on the MXU, the
     ξ outer products contract the batch (lane) dim.  ``banded=False``
     takes TWO dense (S, S) matrices (transᵀ for the α̂ recompute, trans
     for the v-space backward); ``full_xi`` = identity selections
-    (general-HMM (S, S) ξ)."""
+    (general-HMM (S, S) ξ).  No lane-chunked variant — see
+    :func:`_make_fwd_llh_ckpt_kernel_lm`."""
 
     def kernel(*refs):
         if banded:
@@ -1719,110 +1719,84 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
         final = final_ref[:].astype(jnp.float32)
         hi = jax.lax.Precision.HIGHEST
         is_last_all = m_all * (1.0 - mn_all)
-        cb = carry_v.shape[1] // n_chunks
-        col = lambda c: (slice(None), slice(c * cb, (c + 1) * cb))
-        cols = (lambda x, c: x) if n_chunks == 1 else (
-            lambda x, c: x[col(c)])
-        p_c = [cols(ckpt_ref[0].astype(jnp.float32), c)
-               for c in range(n_chunks)]
-        v_c = [cols(carry_v[:], c) for c in range(n_chunks)]
+        p = ckpt_ref[0].astype(jnp.float32)
+        v_hat = carry_v[:]
         prev_wsel = carry_wsel[:]
         prev_wgt = carry_wgt[:]
-        a_lists = [[] for _ in range(n_chunks)]
-        norm_lists = [[] for _ in range(n_chunks)]
-        u1_lists = [[None] * k_steps for _ in range(n_chunks)]
+        a_list, norm_list = [], []
+        u1_list = [None] * k_steps
         for j in range(k_steps):
             k = k_steps - 1 - j
-            for c in range(n_chunks):
-                # no mask blends in either chain — bit-identical for
-                # live steps, post-end drift masked downstream (see the
-                # batch-major kernel's note)
-                p = p_c[c]
-                propagated = propagate(p)
-                if j == 0:
-                    base = jnp.where(first_time_block, p, propagated)
-                else:
-                    base = propagated
-                raw = base * cols(e_all[j], c)
-                norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
-                p_c[c] = raw / norm
-                keep = cols(m_all[j], c)
-                if j == 0:
-                    keep = jnp.where(first_time_block, 1.0, keep)
-                a_lists[c].append(p_c[c])
-                norm_lists[c].append(keep * norm + (1.0 - keep))
-                v_hat = v_c[c]
-                u1 = propagate_t(v_hat)
-                u1 = (cols(is_last_all[k], c) * cols(final, c)
-                      + (1.0 - cols(is_last_all[k], c)) * u1)
-                u1_lists[c][k] = u1
-                v = cols(e_all[k], c) * u1
-                sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
-                v_c[c] = v / sv
-        carry_v[:] = (v_c[0] if n_chunks == 1
-                      else jnp.concatenate(v_c, 1))
+            # no mask blends in either chain — bit-identical for live
+            # steps, post-end drift masked downstream (see the
+            # batch-major kernel's note)
+            propagated = propagate(p)
+            if j == 0:
+                base = jnp.where(first_time_block, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_all[j]
+            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+            p = raw / norm
+            keep = m_all[j]
+            if j == 0:
+                keep = jnp.where(first_time_block, 1.0, keep)
+            a_list.append(p)
+            norm_list.append(keep * norm + (1.0 - keep))
+            u1 = propagate_t(v_hat)
+            u1 = (is_last_all[k] * final
+                  + (1.0 - is_last_all[k]) * u1)
+            u1_list[k] = u1
+            v = e_all[k] * u1
+            sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
+            v_hat = v / sv
+        carry_v[:] = v_hat
 
-        # vectorized epilogue, per chunk; ξ sums the chunks'
-        # contributions (float summation order only)
+        # vectorized epilogue
         xi_v = xi[:]
-        wsel0_c, wgt0_c = [], []
-        for c in range(n_chunks):
-            a_all = jnp.stack(a_lists[c])               # (K, S, cb)
-            norm_all = jnp.stack(norm_lists[c])         # (K, 1, cb)
-            u1_all = jnp.stack(u1_lists[c])             # (K, S, cb)
-            m_blk = (m_all[..., c * cb:(c + 1) * cb]
-                     if n_chunks > 1 else m_all)
-            e_blk = (e_all[..., c * cb:(c + 1) * cb]
-                     if n_chunks > 1 else e_all)
-            ab_all = a_all * u1_all
-            absum_all = ab_all.sum(1, keepdims=True)
-            gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_blk
-            v_all = e_blk * u1_all
-            sv_all = jnp.maximum(v_all.sum(1, keepdims=True), tiny)
-            w_all = v_all / sv_all
-            denom_all = norm_all * absum_all / sv_all
-            wgt_all = jnp.where(denom_all > 1e-30,
-                                m_blk / jnp.maximum(denom_all, 1e-30), 0.0)
-            if n_chunks == 1:
-                gamma_out[:] = gamma_all.astype(gamma_out.dtype)
-            else:
-                gamma_out[:, :, c * cb:(c + 1) * cb] = gamma_all.astype(
-                    gamma_out.dtype)
+        a_all = jnp.stack(a_list)                       # (K, S, B)
+        norm_all = jnp.stack(norm_list)                 # (K, 1, B)
+        u1_all = jnp.stack(u1_list)                     # (K, S, B)
+        ab_all = a_all * u1_all
+        absum_all = ab_all.sum(1, keepdims=True)
+        gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_all
+        v_all = e_all * u1_all
+        sv_all = jnp.maximum(v_all.sum(1, keepdims=True), tiny)
+        w_all = v_all / sv_all
+        denom_all = norm_all * absum_all / sv_all
+        wgt_all = jnp.where(denom_all > 1e-30,
+                            m_all / jnp.maximum(denom_all, 1e-30), 0.0)
+        gamma_out[:] = gamma_all.astype(gamma_out.dtype)
 
-            # per-step selection products (contract S on the MXU) + ξ
-            # outer products (contract B)
-            if full_xi:
-                # identity selections: the ξ factors ARE the carries
-                wsel_steps = [w_all[k] for k in range(k_steps)]
-                usel_steps = [a_all[k] for k in range(k_steps)]
-            else:
-                wsel_steps = [
-                    _dot2_sel_lm(selc_ref[:], w_all[k])
-                    for k in range(k_steps)
-                ]                                       # each (C, cb)
-                usel_steps = [
-                    _dot2_sel_lm(selr_ref[:], a_all[k])
-                    for k in range(k_steps)
-                ]                                       # each (R, cb)
-            for k in range(k_steps - 1):
-                uw = usel_steps[k] * wgt_all[k + 1]
-                xi_v = xi_v + jax.lax.dot_general(
-                    uw, wsel_steps[k + 1],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=hi,
-                )
+        # per-step selection products (contract S on the MXU) + ξ
+        # outer products (contract B)
+        if full_xi:
+            # identity selections: the ξ factors ARE the carries
+            wsel_steps = [w_all[k] for k in range(k_steps)]
+            usel_steps = [a_all[k] for k in range(k_steps)]
+        else:
+            wsel_steps = [
+                _dot2_sel_lm(selc_ref[:], w_all[k])
+                for k in range(k_steps)
+            ]                                           # each (C, B)
+            usel_steps = [
+                _dot2_sel_lm(selr_ref[:], a_all[k])
+                for k in range(k_steps)
+            ]                                           # each (R, B)
+        for k in range(k_steps - 1):
+            uw = usel_steps[k] * wgt_all[k + 1]
             xi_v = xi_v + jax.lax.dot_general(
-                usel_steps[k_steps - 1] * cols(prev_wgt, c),
-                cols(prev_wsel, c),
+                uw, wsel_steps[k + 1],
                 (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=hi,
             )
-            wsel0_c.append(wsel_steps[0])
-            wgt0_c.append(wgt_all[0])
-        carry_wsel[:] = (wsel0_c[0] if n_chunks == 1
-                         else jnp.concatenate(wsel0_c, 1))
-        carry_wgt[:] = (wgt0_c[0] if n_chunks == 1
-                        else jnp.concatenate(wgt0_c, 1))
+        xi_v = xi_v + jax.lax.dot_general(
+            usel_steps[k_steps - 1] * prev_wgt, prev_wsel,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        carry_wsel[:] = wsel_steps[0]
+        carry_wgt[:] = wgt_all[0]
         xi[:] = xi_v
         xi_out[:] = xi_v.astype(xi_out.dtype)
 
@@ -1842,8 +1816,11 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
     sel_r_t/sel_c_t (n, S) one-hot selections (pre-transposed) — or
     both ``None`` for full (S, S) ξ (identity selections, general HMM).
     ``bands=None, trans=(S, S)`` selects the dense transition path.
-    Returns (γ (T, S, B), xi_raw (n_r, n_c)).
+    Returns (γ (T, S, B), xi_raw (n_r, n_c)).  ``batch_chunks`` is
+    accepted for signature parity with the batch-major pass but
+    IGNORED — see :func:`_make_fwd_llh_ckpt_kernel_lm`.
     """
+    del batch_chunks
     banded = bands is not None
     full_xi = sel_r_t is None
     t_len, s, b = llh_lm.shape
@@ -1879,8 +1856,7 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
         args += [sel_r_t, sel_c_t]
     gamma, xi = pl.pallas_call(
         _make_estep_ckpt_kernel_lm(
-            k_steps, n_blocks, banded=banded, full_xi=full_xi,
-            n_chunks=_resolve_chunks(batch_chunks, b, align=128)),
+            k_steps, n_blocks, banded=banded, full_xi=full_xi),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[big, const2((n_r, n_c))],

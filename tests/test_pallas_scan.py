@@ -609,9 +609,10 @@ def test_lane_major_ckpt_matches_batch_major(rng):
     np.testing.assert_allclose(np.asarray(xi), np.asarray(xi_ref),
                                rtol=1e-4, atol=1e-5)
 
-    # lane-chunked lm kernels (b=16 < 2·128 → resolver falls back to 1;
-    # force alignment by monkey-free direct call with a 128-wide fake):
-    # instead validate the resolver fallback path keeps outputs equal
+    # the lm passes accept batch_chunks for signature parity but ignore
+    # it (Mosaic rejects lane-chunked sublane broadcasts on real TPUs,
+    # and chunking measured slower anyway — see the kernel docstring):
+    # outputs must be bit-identical with the knob set
     c2, last2, z2 = pallas_scan.forward_llh_ckpt_pass_lm(
         llh_lm, bands, iv.T, mask, interpret=True, batch_chunks=2)
     np.testing.assert_array_equal(np.asarray(c2), np.asarray(c))
@@ -659,9 +660,11 @@ def test_lane_major_dense_full_xi_matches_batch_major(rng):
                                rtol=1e-4, atol=1e-5)
 
 
-def test_lane_major_lane_chunked_matches_unchunked(rng):
-    """Lane-chunked lm kernels (batch lanes split into independent
-    sub-chains, cb=128-aligned) == unchunked lm kernels."""
+def test_lane_major_ignores_batch_chunks(rng):
+    """The lm passes accept ``batch_chunks`` but ignore it (no
+    lane-chunked kernel variant exists — Mosaic layout limit plus a
+    measured on-chip loss; see _make_fwd_llh_ckpt_kernel_lm): outputs
+    with the knob set must be BIT-identical to the unchunked run."""
     b, t_len, n_units, spu = 256, 9, 2, 3
     s = n_units * spu
     ids = np.arange(s)

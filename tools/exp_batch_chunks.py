@@ -148,10 +148,12 @@ def main():
     for chunks in (1, 2, 4, 8):
         dt = timeit(make_pair(chunks), args)
         print(f"fwd+estep C={chunks}: {dt*1e3:7.3f} ms", flush=True)
-    for chunks in (1, 2, 4):
-        dt = timeit(make_lm_pair(chunks), args)
-        print(f"fwd+estep lane-major C={chunks}: {dt*1e3:7.3f} ms "
-              "(incl. transpose)", flush=True)
+    # the lm passes ignore batch_chunks (no lane-chunked kernels —
+    # Mosaic layout limit + the measured loss above), so time the
+    # unchunked lane-major pair only
+    dt = timeit(make_lm_pair(1), args)
+    print(f"fwd+estep lane-major: {dt*1e3:7.3f} ms "
+          "(incl. transpose)", flush=True)
 
 
 if __name__ == "__main__":
