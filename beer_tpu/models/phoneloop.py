@@ -250,32 +250,49 @@ class PhoneLoop(DiscreteLatentModel):
         }
 
     def _accumulate_fused_lm(self, stats, cache) -> Dict[str, Any]:
-        """Lane-major mirror of :meth:`_accumulate_fused`: γ comes back
-        (T, S, B) and feeds the emission update through
-        ``accumulate_from_moments`` (the γᵀ@stats einsum contracts the
-        batch lanes per time step — same MXU shape as the batch-major
-        path)."""
+        """Lane-major mirror of :meth:`_accumulate_fused`.  By default
+        the accumulating kernel computes γᵀ@stats, the per-state counts
+        and the first-frame start term IN VMEM, so the (T, S, B) γ
+        array never exists in HBM (saves its write + re-read, ~0.3 GB
+        at the bench shape — pallas_scan._make_estep_ckpt_acc_kernel_lm).
+        ``BEER_FUSE_ACC=0`` falls back to the γ-emitting kernel + XLA
+        einsum (the two paths agree to f32 dot-order;
+        tests/test_pallas_scan.py)."""
         sg = jax.lax.stop_gradient
         graph = cache["graph"]
         s = self.n_states
         dt = cache["llh_lm"].dtype
         sel_r_t = jax.nn.one_hot(self._ends, s, dtype=dt)      # (U, S)
         sel_c_t = jax.nn.one_hot(self._starts, s, dtype=dt)    # (U, S)
-        gamma_lm, xi_raw = semiring_scan.phone_loop_estep_ckpt_lm(
-            sg(cache["llh_lm"]), sg(cache["bands"]), sg(cache["ckpts"]),
-            sg(cache["final_lm"]), sg(cache["mask"]), sel_r_t, sel_c_t,
-        )
-        stats_lm = cache["stats_lm"]
-        acc2 = jnp.einsum(
-            "tsb,tpb->sp", gamma_lm, stats_lm,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        counts = gamma_lm.sum((0, 2))
         trans_blk = jnp.exp(graph.log_trans)[self._ends][:, self._starts]
-        unit_counts = (xi_raw * sg(trans_blk)).sum(0) \
-            + gamma_lm[0][self._starts, :].sum(-1)
+        from beer_tpu.ops import pallas_scan
+
+        if pallas_scan.FUSE_ACC:
+            acc2, counts, gamma0, xi_raw = \
+                semiring_scan.phone_loop_estep_ckpt_acc_lm(
+                    sg(cache["llh_lm"]), sg(cache["bands"]),
+                    sg(cache["ckpts"]), sg(cache["final_lm"]),
+                    sg(cache["mask"]), sel_r_t, sel_c_t,
+                    sg(cache["stats_lm"]),
+                )
+            start_term = gamma0[self._starts, :].sum(-1)
+        else:
+            gamma_lm, xi_raw = semiring_scan.phone_loop_estep_ckpt_lm(
+                sg(cache["llh_lm"]), sg(cache["bands"]),
+                sg(cache["ckpts"]), sg(cache["final_lm"]),
+                sg(cache["mask"]), sel_r_t, sel_c_t,
+            )
+            stats_lm = cache["stats_lm"]
+            acc2 = jnp.einsum(
+                "tsb,tpb->sp", gamma_lm, stats_lm,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            counts = gamma_lm.sum((0, 2))
+            start_term = gamma_lm[0][self._starts, :].sum(-1)
+        unit_counts = (xi_raw * sg(trans_blk)).sum(0) + start_term
         return {
-            "modelset": self.modelset.accumulate_from_moments(acc2, counts),
+            "modelset": self.modelset.accumulate_from_moments(
+                acc2.astype(dt), counts.astype(dt)),
             "unit_prior": self.unit_prior.accumulate_counts(unit_counts),
         }
 

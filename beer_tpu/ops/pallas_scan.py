@@ -89,6 +89,12 @@ BATCH_CHUNKS = int(os.environ.get("BEER_SCAN_BATCH_CHUNKS", "1"))
 # exactly the dead-lane hypothesis (docs/PERFORMANCE.md).
 LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "auto")
 
+# In-kernel γᵀ@stats moment accumulation for the lane-major phone-loop
+# E-step (the (T, S, B) γ array never touches HBM — see
+# _make_estep_ckpt_acc_kernel_lm).  "1" = on (default pending the
+# on-chip gate), "0" = γ-emitting kernel + XLA einsum.
+FUSE_ACC = os.environ.get("BEER_FUSE_ACC", "1") != "0"
+
 
 def use_lane_major(b: int, s: int) -> bool:
     """Trace-time orientation choice for the fused E-step kernels."""
@@ -1876,6 +1882,249 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
         interpret=interpret or FORCE_INTERPRET,
     )(*args)
     return gamma[:t_len], xi
+
+
+def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
+                                   banded: bool = True,
+                                   full_xi: bool = False):
+    """Accumulating variant of :func:`_make_estep_ckpt_kernel_lm`: the
+    (T, S, B) γ array is never written to HBM.  Its only consumers in
+    the conjugate M-step are three reductions, all computed in-kernel:
+
+    * ``acc2 (S, P) = Σ_t γ_t ⊗ stats_t`` — one (S, B)@(B, P+1) MXU dot
+      per step against the streamed reduced stats (with a ones row
+      appended in VMEM, whose column doubles as…)
+    * ``counts (S,) = Σ_t,b γ`` — the ones column of the same dot,
+    * ``γ_0 (S, B)`` — the first frame's posteriors (the unit-prior
+      start term); the first time block is the LAST grid step, so the
+      unconditional write leaves exactly that block's value.
+
+    Saves the γ write + re-read (2 × T·S·B·4 bytes ≈ 0.3 GB at the
+    bench shape) at the cost of ~3 G MAC of epilogue MXU work.  The
+    batch-major fuse_acc measured as a LOSS (tools/exp_acc_variants.py)
+    because its in-kernel accumulation serialized against a chain 2.7×
+    slower than lane-major's — re-gated for this orientation by
+    tools/exp_fuse_acc_lm.py."""
+
+    def kernel(*refs):
+        if banded:
+            (llh_ref, len_ref, ckpt_ref, stats_ref, band_ref,
+             final_ref) = refs[:6]
+            rest = refs[6:]
+            trans_t_ref = None
+        else:
+            (llh_ref, len_ref, ckpt_ref, stats_ref, band_ref,
+             trans_t_ref, final_ref) = refs[:7]
+            rest = refs[7:]
+        if full_xi:
+            selr_ref = selc_ref = None
+        else:
+            selr_ref, selc_ref = rest[:2]
+            rest = rest[2:]
+        (acc_out, gamma0_out, xi_out,
+         carry_v, carry_wsel, carry_wgt, xi, acc_scr) = rest
+        pid = pl.program_id(0)
+        tiny = jnp.finfo(jnp.float32).tiny
+
+        @pl.when(pid == 0)
+        def _():
+            f = final_ref[:].astype(jnp.float32)
+            carry_v[:] = f / jnp.maximum(f.sum(0, keepdims=True), tiny)
+            carry_wsel[:] = jnp.zeros_like(carry_wsel)
+            carry_wgt[:] = jnp.zeros_like(carry_wgt)
+            xi[:] = jnp.zeros_like(xi)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        t0 = ((n_blocks - 1 - pid) * k_steps).astype(jnp.float32)
+        first_time_block = pid == n_blocks - 1
+        m_all = _block_masks_lm(len_ref, t0, k_steps)
+        mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
+        e_all, _ = _exp_block_lm(llh_ref[:].astype(jnp.float32), m_all)
+
+        if banded:
+            propagate, propagate_t = _band_propagators_lm(band_ref)
+        else:
+            ft_hi, ft_lo = _split_bf16(band_ref[:])
+            bt_hi, bt_lo = _split_bf16(trans_t_ref[:])
+            propagate = lambda q: _dot3_lm(ft_hi, ft_lo, q)
+            propagate_t = lambda q: _dot3_lm(bt_hi, bt_lo, q)
+        final = final_ref[:].astype(jnp.float32)
+        hi = jax.lax.Precision.HIGHEST
+        is_last_all = m_all * (1.0 - mn_all)
+        p = ckpt_ref[0].astype(jnp.float32)
+        v_hat = carry_v[:]
+        prev_wsel = carry_wsel[:]
+        prev_wgt = carry_wgt[:]
+        a_list, norm_list = [], []
+        u1_list = [None] * k_steps
+        for j in range(k_steps):
+            k = k_steps - 1 - j
+            propagated = propagate(p)
+            if j == 0:
+                base = jnp.where(first_time_block, p, propagated)
+            else:
+                base = propagated
+            raw = base * e_all[j]
+            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+            p = raw / norm
+            keep = m_all[j]
+            if j == 0:
+                keep = jnp.where(first_time_block, 1.0, keep)
+            a_list.append(p)
+            norm_list.append(keep * norm + (1.0 - keep))
+            u1 = propagate_t(v_hat)
+            u1 = (is_last_all[k] * final
+                  + (1.0 - is_last_all[k]) * u1)
+            u1_list[k] = u1
+            v = e_all[k] * u1
+            sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
+            v_hat = v / sv
+        carry_v[:] = v_hat
+
+        # vectorized epilogue (identical γ/ŵ/weights math to the
+        # γ-emitting kernel) + the in-VMEM moment accumulation
+        xi_v = xi[:]
+        a_all = jnp.stack(a_list)                       # (K, S, B)
+        norm_all = jnp.stack(norm_list)                 # (K, 1, B)
+        u1_all = jnp.stack(u1_list)                     # (K, S, B)
+        ab_all = a_all * u1_all
+        absum_all = ab_all.sum(1, keepdims=True)
+        gamma_all = (ab_all / jnp.maximum(absum_all, tiny)) * m_all
+        v_all = e_all * u1_all
+        sv_all = jnp.maximum(v_all.sum(1, keepdims=True), tiny)
+        w_all = v_all / sv_all
+        denom_all = norm_all * absum_all / sv_all
+        wgt_all = jnp.where(denom_all > 1e-30,
+                            m_all / jnp.maximum(denom_all, 1e-30), 0.0)
+
+        # γ0: every grid step writes; the last (= first time block) wins
+        gamma0_out[0] = gamma_all[0].astype(gamma0_out.dtype)
+
+        # acc2 ⊕ counts: γ_k (S, B) · [stats_k; 1] (P+1, B), contract B
+        stats_blk = stats_ref[:].astype(jnp.float32)    # (K, P, B)
+        ones_row = jnp.ones(
+            (k_steps, 1, stats_blk.shape[2]), jnp.float32)
+        stats1 = jnp.concatenate([stats_blk, ones_row], axis=1)
+        acc_v = acc_scr[:]
+        for k in range(k_steps):
+            acc_v = acc_v + jax.lax.dot_general(
+                gamma_all[k], stats1[k],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+        acc_scr[:] = acc_v
+        acc_out[:] = acc_v.astype(acc_out.dtype)
+
+        if full_xi:
+            wsel_steps = [w_all[k] for k in range(k_steps)]
+            usel_steps = [a_all[k] for k in range(k_steps)]
+        else:
+            wsel_steps = [
+                _dot2_sel_lm(selc_ref[:], w_all[k])
+                for k in range(k_steps)
+            ]
+            usel_steps = [
+                _dot2_sel_lm(selr_ref[:], a_all[k])
+                for k in range(k_steps)
+            ]
+        for k in range(k_steps - 1):
+            uw = usel_steps[k] * wgt_all[k + 1]
+            xi_v = xi_v + jax.lax.dot_general(
+                uw, wsel_steps[k + 1],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi,
+            )
+        xi_v = xi_v + jax.lax.dot_general(
+            usel_steps[k_steps - 1] * prev_wgt, prev_wsel,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi,
+        )
+        carry_wsel[:] = wsel_steps[0]
+        carry_wgt[:] = wgt_all[0]
+        xi[:] = xi_v
+        xi_out[:] = xi_v.astype(xi_out.dtype)
+
+    return kernel
+
+
+def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
+                                 sel_r_t, sel_c_t, stats_lm,
+                                 interpret: bool = False, trans=None):
+    """Accumulating lane-major fused E-step: smoothing + restricted ξ
+    + in-VMEM γᵀ@stats moment accumulation, with NO (T, S, B) γ output
+    (see :func:`_make_estep_ckpt_acc_kernel_lm`).
+
+    ``stats_lm`` (T, P, B) is the reduced sufficient-stats stream
+    (time-padded like ``llh_lm``).  Returns
+    (acc2 (S, P) f32, counts (S,) f32, γ0 (S, B), xi_raw (n_r, n_c)).
+    """
+    banded = bands is not None
+    full_xi = sel_r_t is None
+    t_len, s, b = llh_lm.shape
+    p_dim = stats_lm.shape[1]
+    n_r, n_c = (s, s) if full_xi else (sel_r_t.shape[0], sel_c_t.shape[0])
+    dtype = llh_lm.dtype
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    n_blocks = t_pad // k_steps
+    if ckpts.shape[0] != n_blocks:
+        raise ValueError(
+            f"checkpoint count {ckpts.shape[0]} != n_blocks {n_blocks}")
+    if stats_lm.shape[0] != t_len:
+        raise ValueError(
+            f"stats length {stats_lm.shape[0]} != llh length {t_len}")
+    llh_p = _pad_tm(llh_lm, t_pad, 0.0)
+    stats_p = _pad_tm(stats_lm, t_pad, 0.0)
+    lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
+    rev = lambda g: (n_blocks - 1 - g, 0, 0)
+    big = pl.BlockSpec((k_steps, s, b), rev, memory_space=pltpu.VMEM)
+    big_stats = pl.BlockSpec((k_steps, p_dim, b), rev,
+                             memory_space=pltpu.VMEM)
+    ckpt_spec = pl.BlockSpec((1, s, b), rev, memory_space=pltpu.VMEM)
+    fixed_one = pl.BlockSpec((1, s, b), lambda t: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    const2 = lambda shape: pl.BlockSpec(
+        shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [big, const2((1, b)), ckpt_spec, big_stats]
+    args = [llh_p, lens, ckpts, stats_p]
+    if banded:
+        band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
+        in_specs.append(const2((s, 4)))
+        args.append(band_arr)
+    else:
+        in_specs += [const2((s, s)), const2((s, s))]
+        args += [trans.T.astype(jnp.float32), trans.astype(jnp.float32)]
+    in_specs.append(const2((s, b)))
+    args.append(final_vec)
+    if not full_xi:
+        in_specs += [const2((n_r, s)), const2((n_c, s))]
+        args += [sel_r_t, sel_c_t]
+    acc, gamma0, xi = pl.pallas_call(
+        _make_estep_ckpt_acc_kernel_lm(
+            k_steps, n_blocks, banded=banded, full_xi=full_xi),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[const2((s, p_dim + 1)), fixed_one,
+                   const2((n_r, n_c))],
+        out_shape=[
+            jax.ShapeDtypeStruct((s, p_dim + 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, s, b), dtype),
+            jax.ShapeDtypeStruct((n_r, n_c), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((s, b), jnp.float32),
+            pltpu.VMEM((n_c, b), jnp.float32),
+            pltpu.VMEM((1, b), jnp.float32),
+            pltpu.VMEM((n_r, n_c), jnp.float32),
+            pltpu.VMEM((s, p_dim + 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or FORCE_INTERPRET,
+    )(*args)
+    return acc[:, :p_dim], acc[:, p_dim], gamma0[0], xi
 
 
 def _make_estep_kernel(k_steps: int, n_blocks: int):

@@ -518,6 +518,21 @@ def phone_loop_estep_ckpt_lm(llh_lm, bands, ckpts, final_vec, mask,
     )
 
 
+def phone_loop_estep_ckpt_acc_lm(llh_lm, bands, ckpts, final_vec, mask,
+                                 sel_r_t, sel_c_t, stats_lm):
+    """Accumulating lane-major fused E-step
+    (:func:`pallas_scan.phone_loop_estep_ckpt_acc_lm`): smoothing +
+    restricted ξ + in-VMEM γᵀ@stats — the (T, S, B) γ array never
+    touches HBM.  Returns (acc2 (S, P), counts (S,), γ0 (S, B),
+    xi_raw (n_r, n_c)).  Not differentiable (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        llh_lm, ckpts, bands, final_vec, mask, sel_r_t, sel_c_t,
+        stats_lm,
+    )
+
+
 @jax.custom_vjp
 def forward_llh_ckpt_lm(llh_lm, trans, init_vec, mask):
     """Lane-major (S, B) variant of :func:`forward_llh_ckpt` (dense

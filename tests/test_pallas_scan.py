@@ -704,3 +704,52 @@ def test_lane_major_ignores_batch_chunks(rng):
     np.testing.assert_array_equal(np.asarray(g2), np.asarray(g1))
     np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi1),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_lane_major_acc_matches_gamma_variant(rng):
+    """The accumulating lane-major E-step (in-VMEM γᵀ@stats, no γ
+    output) reproduces the γ-emitting kernel's reductions: acc2 ==
+    einsum(γ, stats), counts == Σγ, γ0 == γ[0], ξ identical."""
+    b, t_len, n_units, spu, p_dim = 16, 21, 2, 3, 5
+    s = n_units * spu
+    ids = np.arange(s)
+    a_self = np.full(s, 0.6, np.float32)
+    a_adv = np.where(ids % spu != spu - 1, 0.4, 0.0).astype(np.float32)
+    exit_v = np.zeros(s, np.float32)
+    exit_v[ids % spu == spu - 1] = 0.2
+    w_v = np.zeros(s, np.float32)
+    w_v[ids % spu == 0] = 1.0 / n_units
+    bands = tuple(jnp.asarray(v) for v in (a_self, a_adv, exit_v, w_v))
+    llh = (rng.normal(size=(b, t_len, s)) * 2).astype(np.float32)
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    llh_lm = jnp.swapaxes(jnp.swapaxes(jnp.asarray(llh), 0, 1), 1, 2)
+    stats_lm = jnp.asarray(
+        rng.normal(size=(t_len, p_dim, b)).astype(np.float32))
+    iv = jnp.full((s, b), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.asarray(exit_v)[:, None], (s, b)).astype(
+        jnp.float32)
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r_t = jax.nn.one_hot(rows, s, dtype=jnp.float32)
+    sel_c_t = jax.nn.one_hot(cols, s, dtype=jnp.float32)
+
+    ckpts, _, _ = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, iv, mask, interpret=True)
+    gamma, xi_ref = pallas_scan.phone_loop_estep_ckpt_pass_lm(
+        llh_lm, ckpts, bands, fv, mask, sel_r_t, sel_c_t, interpret=True)
+    acc_ref = jnp.einsum("tsb,tpb->sp", gamma, stats_lm,
+                         precision=jax.lax.Precision.HIGHEST)
+    counts_ref = gamma.sum((0, 2))
+
+    acc2, counts, gamma0, xi = pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        llh_lm, ckpts, bands, fv, mask, sel_r_t, sel_c_t, stats_lm,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(acc2), np.asarray(acc_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(counts_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(gamma0), np.asarray(gamma[0]))
+    np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi_ref))
