@@ -219,28 +219,48 @@ class PhoneLoop(DiscreteLatentModel):
                 mask, jnp.zeros((b, t_pad - t_len), mask.dtype)
             ], axis=1)
         w_mat, bias = self.modelset.ellh_matrix()      # (P, S), (S,)
-        llh_lm = jnp.einsum(
-            "tpb,ps->tsb", stats_lm, w_mat,
-            precision=jax.lax.Precision.HIGHEST,
-        ) + bias[None, :, None]
-        tiny = jnp.finfo(llh_lm.dtype).tiny
-        bands = self._structured_trans(llh_lm.dtype)
+        tiny = jnp.finfo(dt).tiny
+        bands = self._structured_trans(dt)
         trans = jnp.exp(graph.log_trans)
         init_lm = jnp.broadcast_to(
             jnp.exp(jnp.maximum(graph.log_init, LOG_ZERO))[:, None], (s, b)
-        ).astype(llh_lm.dtype)
+        ).astype(dt)
         final_lm = jnp.broadcast_to(
             jnp.exp(jnp.maximum(graph.log_final, LOG_ZERO))[:, None], (s, b)
-        ).astype(llh_lm.dtype)
-        ckpts, a_last, logz_base = semiring_scan.forward_llh_ckpt_banded_lm(
-            llh_lm, bands, trans, init_lm, mask
-        )
+        ).astype(dt)
+        from beer_tpu.ops import pallas_scan
+
+        fuse_ellh = pallas_scan.FUSE_ELLH and pallas_scan.FUSE_ACC
+        if fuse_ellh:
+            # stream stats only: llh = W@stats + bias computed in VMEM
+            # by both kernels (never exists in HBM).  Cast the affine
+            # params to the stats dtype HERE so the custom_vjp's
+            # reference recompute and the kernel primal agree (under
+            # x64 tests ellh_matrix returns f64; the kernel always
+            # computes in f32).
+            llh_lm = None
+            w_lm = w_mat.T.astype(dt)                  # (S, P)
+            bias = bias.astype(dt)
+            ckpts, a_last, logz_base = \
+                semiring_scan.forward_stats_ckpt_banded_lm(
+                    stats_lm, bands, w_lm, bias, trans, init_lm, mask)
+        else:
+            w_lm = None
+            llh_lm = jnp.einsum(
+                "tpb,ps->tsb", stats_lm, w_mat,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + bias[None, :, None]
+            ckpts, a_last, logz_base = \
+                semiring_scan.forward_llh_ckpt_banded_lm(
+                    llh_lm, bands, trans, init_lm, mask)
         log_z = logz_base + jnp.log(
             jnp.maximum((a_last * final_lm).sum(0), tiny)
         )
         log_z = log_z * (mask.sum(-1) > 0)
         return log_z, {
             "llh_lm": llh_lm,
+            "w_lm": w_lm,
+            "bias_lm": bias if fuse_ellh else None,
             "bands": bands,
             "ckpts": ckpts,
             "stats_lm": stats_lm,
@@ -261,19 +281,23 @@ class PhoneLoop(DiscreteLatentModel):
         sg = jax.lax.stop_gradient
         graph = cache["graph"]
         s = self.n_states
-        dt = cache["llh_lm"].dtype
+        dt = cache["stats_lm"].dtype
         sel_r_t = jax.nn.one_hot(self._ends, s, dtype=dt)      # (U, S)
         sel_c_t = jax.nn.one_hot(self._starts, s, dtype=dt)    # (U, S)
         trans_blk = jnp.exp(graph.log_trans)[self._ends][:, self._starts]
         from beer_tpu.ops import pallas_scan
 
         if pallas_scan.FUSE_ACC:
+            fuse_ellh = cache.get("w_lm") is not None
             acc2, counts, gamma0, xi_raw = \
                 semiring_scan.phone_loop_estep_ckpt_acc_lm(
-                    sg(cache["llh_lm"]), sg(cache["bands"]),
+                    None if fuse_ellh else sg(cache["llh_lm"]),
+                    sg(cache["bands"]),
                     sg(cache["ckpts"]), sg(cache["final_lm"]),
                     sg(cache["mask"]), sel_r_t, sel_c_t,
                     sg(cache["stats_lm"]),
+                    w=sg(cache["w_lm"]) if fuse_ellh else None,
+                    bias=sg(cache["bias_lm"]) if fuse_ellh else None,
                 )
             start_term = gamma0[self._starts, :].sum(-1)
         else:

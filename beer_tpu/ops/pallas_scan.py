@@ -91,9 +91,19 @@ LANE_MAJOR = os.environ.get("BEER_LANE_MAJOR", "auto")
 
 # In-kernel γᵀ@stats moment accumulation for the lane-major phone-loop
 # E-step (the (T, S, B) γ array never touches HBM — see
-# _make_estep_ckpt_acc_kernel_lm).  "1" = on (default pending the
-# on-chip gate), "0" = γ-emitting kernel + XLA einsum.
+# _make_estep_ckpt_acc_kernel_lm).  "1" = on (measured +20% on the
+# headline config, tools/exp_fuse_acc_lm.py), "0" = γ-emitting kernel
+# + XLA einsum.
 FUSE_ACC = os.environ.get("BEER_FUSE_ACC", "1") != "0"
+
+# In-kernel ELLH for the lane-major phone-loop E-step: stream the
+# reduced stats (T, P, B) instead of llh (T, S, B) and compute
+# llh = W @ stats + bias in VMEM (_llh_block_lm) — llh never exists in
+# HBM (saves its write + two reads).  Takes effect only with FUSE_ACC
+# (the accumulating kernel already streams stats; llh-streaming
+# smoothing would need both streams).  Gated by
+# tools/exp_fuse_ellh_lm.py.
+FUSE_ELLH = os.environ.get("BEER_FUSE_ELLH", "1") != "0"
 
 
 def use_lane_major(b: int, s: int) -> bool:
@@ -1535,7 +1545,24 @@ def _dot3_lm(t_hi, t_lo, p):
     )
 
 
-def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
+def _llh_block_lm(x_ref, w_ref, bias_ref):
+    """Whole-block lane-major llh (K, S, B) = W (S, P) @ stats_k (P, B)
+    + bias (S, 1), HIGHEST precision — the exact op
+    ``NormalSet.expected_log_likelihood`` runs outside.  One dot per
+    step, all BEFORE the serial chain (the llh tiles don't depend on
+    the carry, so nothing serializes against the recursion)."""
+    x = x_ref[:].astype(jnp.float32)                   # (K, P, B)
+    w = w_ref[:]                                       # (S, P)
+    bias = bias_ref[:]                                 # (S, 1)
+    return jnp.stack([
+        jnp.dot(w, x[k], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + bias
+        for k in range(x.shape[0])
+    ])
+
+
+def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
+                                 fuse_ellh: bool = False):
     """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel`:
     identical per-row arithmetic on (S, B) tiles.  ``banded=False``
     takes the TRANSPOSED dense (S, S) matrix (α column-vector
@@ -1547,11 +1574,22 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
     canonicalizes the broadcast-then-slice workaround straight back),
     and the on-chip gate run measured chunked recursions LOSING in both
     orientations anyway (tools/exp_batch_chunks.py, v5e: batch-major
-    fwd C=2 0.84 ms vs C=1 0.70 ms) — so the knob is ignored here."""
+    fwd C=2 0.84 ms vs C=1 0.70 ms) — so the knob is ignored here.
 
-    def kernel(llh_ref, len_ref, band_ref, init_ref,
-               ckpt_out, last_out, logz_out, carry_p, carry_z,
-               carry_last):
+    With ``fuse_ellh`` the kernel streams the reduced sufficient
+    statistics (T, P, B) instead of llh (T, S, B) and computes llh in
+    VMEM (:func:`_llh_block_lm`) — llh never exists in HBM."""
+
+    def kernel(*refs):
+        if fuse_ellh:
+            (llh_ref, len_ref, w_ref, bias_ref, band_ref, init_ref,
+             ckpt_out, last_out, logz_out, carry_p, carry_z,
+             carry_last) = refs
+        else:
+            (llh_ref, len_ref, band_ref, init_ref,
+             ckpt_out, last_out, logz_out, carry_p, carry_z,
+             carry_last) = refs
+            w_ref = bias_ref = None
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -1572,8 +1610,9 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
         m_all = _block_masks_lm(len_ref, t0, k_steps)
         mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
         is_last_all = m_all * (1.0 - mn_all)
-        e_all, mllh_all = _exp_block_lm(
-            llh_ref[:].astype(jnp.float32), m_all)
+        llh_all = (_llh_block_lm(llh_ref, w_ref, bias_ref) if fuse_ellh
+                   else llh_ref[:].astype(jnp.float32))
+        e_all, mllh_all = _exp_block_lm(llh_all, m_all)
         norms = []
         # no mask blend in the chain; exact α̂(len−1) captured out of
         # the chain by the is_last accumulation (see the batch-major
@@ -1610,7 +1649,7 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True):
 
 def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
                              interpret: bool = False, trans=None,
-                             batch_chunks=None):
+                             batch_chunks=None, w=None, bias=None):
     """Lane-major scaled forward with block-entry checkpoints.
 
     Inputs: llh_lm (T, S, B) time-major LANE-MAJOR log-likelihoods;
@@ -1622,10 +1661,17 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
     array transposed.  ``batch_chunks`` is accepted for signature
     parity with the batch-major pass but IGNORED — see the kernel
     factory's docstring (Mosaic layout limit + measured loss).
+
+    With ``w (S, P)`` / ``bias (S,)``, ``llh_lm`` is instead the
+    reduced sufficient-stats stream (T, P, B) and llh is computed in
+    VMEM (fused-ELLH; llh never exists in HBM).
     """
     del batch_chunks
     banded = bands is not None
-    t_len, s, b = llh_lm.shape
+    fuse = w is not None
+    t_len = llh_lm.shape[0]
+    b = llh_lm.shape[2]
+    s = w.shape[0] if fuse else llh_lm.shape[1]
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
     llh_p = _pad_tm(llh_lm, t_pad, 0.0)
@@ -1644,13 +1690,22 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        pl.BlockSpec((k_steps, llh_lm.shape[1], b), idx,
+                     memory_space=pltpu.VMEM),
+        const2((1, b)),
+    ]
+    args = [llh_p, lens]
+    if fuse:
+        in_specs += [const2(w.shape), const2((s, 1))]
+        args += [w.astype(jnp.float32),
+                 bias.astype(jnp.float32)[:, None]]
+    in_specs += [const2(band_arr.shape), const2((s, b))]
     ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded),
+        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded,
+                                     fuse_ellh=fuse),
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((k_steps, s, b), idx, memory_space=pltpu.VMEM),
-            const2((1, b)), const2(band_arr.shape), const2((s, b)),
-        ],
+        in_specs=in_specs,
         out_specs=[big_one, fixed_one, fixed_small],
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, s, b), llh_lm.dtype),
@@ -1666,7 +1721,7 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret or FORCE_INTERPRET,
-    )(llh_p, lens, band_arr, init_vec)
+    )(*args, band_arr, init_vec)
     return (ckpts, last[0], logz[0, 0])
 
 
@@ -1886,7 +1941,8 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
 
 def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
                                    banded: bool = True,
-                                   full_xi: bool = False):
+                                   full_xi: bool = False,
+                                   fuse_ellh: bool = False):
     """Accumulating variant of :func:`_make_estep_ckpt_kernel_lm`: the
     (T, S, B) γ array is never written to HBM.  Its only consumers in
     the conjugate M-step are three reductions, all computed in-kernel:
@@ -1907,15 +1963,25 @@ def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
     tools/exp_fuse_acc_lm.py."""
 
     def kernel(*refs):
+        if fuse_ellh:
+            # stats stream ONLY: llh is computed in VMEM from (w, bias)
+            # and the γᵀ@stats dot reuses the same stats block
+            (stats_ref, len_ref, ckpt_ref, w_ref, bias_ref) = refs[:5]
+            rest = refs[5:]
+            llh_ref = stats_ref
+        else:
+            (llh_ref, len_ref, ckpt_ref, stats_ref) = refs[:4]
+            rest = refs[4:]
+            w_ref = bias_ref = None
         if banded:
-            (llh_ref, len_ref, ckpt_ref, stats_ref, band_ref,
-             final_ref) = refs[:6]
-            rest = refs[6:]
+            band_ref = rest[0]
+            rest = rest[1:]
             trans_t_ref = None
         else:
-            (llh_ref, len_ref, ckpt_ref, stats_ref, band_ref,
-             trans_t_ref, final_ref) = refs[:7]
-            rest = refs[7:]
+            band_ref, trans_t_ref = rest[:2]
+            rest = rest[2:]
+        final_ref = rest[0]
+        rest = rest[1:]
         if full_xi:
             selr_ref = selc_ref = None
         else:
@@ -1939,7 +2005,9 @@ def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
         first_time_block = pid == n_blocks - 1
         m_all = _block_masks_lm(len_ref, t0, k_steps)
         mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
-        e_all, _ = _exp_block_lm(llh_ref[:].astype(jnp.float32), m_all)
+        llh_all = (_llh_block_lm(llh_ref, w_ref, bias_ref) if fuse_ellh
+                   else llh_ref[:].astype(jnp.float32))
+        e_all, _ = _exp_block_lm(llh_all, m_all)
 
         if banded:
             propagate, propagate_t = _band_propagators_lm(band_ref)
@@ -2049,31 +2117,35 @@ def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
 
 def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
                                  sel_r_t, sel_c_t, stats_lm,
-                                 interpret: bool = False, trans=None):
+                                 interpret: bool = False, trans=None,
+                                 w=None, bias=None):
     """Accumulating lane-major fused E-step: smoothing + restricted ξ
     + in-VMEM γᵀ@stats moment accumulation, with NO (T, S, B) γ output
     (see :func:`_make_estep_ckpt_acc_kernel_lm`).
 
     ``stats_lm`` (T, P, B) is the reduced sufficient-stats stream
-    (time-padded like ``llh_lm``).  Returns
-    (acc2 (S, P) f32, counts (S,) f32, γ0 (S, B), xi_raw (n_r, n_c)).
+    (time-padded like ``llh_lm``).  With ``w (S, P)`` / ``bias (S,)``,
+    llh is computed in VMEM from the SAME stats stream and ``llh_lm``
+    is ignored (pass None) — the kernel's only big input is stats.
+    Returns (acc2 (S, P) f32, counts (S,) f32, γ0 (S, B),
+    xi_raw (n_r, n_c)).
     """
     banded = bands is not None
     full_xi = sel_r_t is None
-    t_len, s, b = llh_lm.shape
-    p_dim = stats_lm.shape[1]
+    fuse = w is not None
+    t_len, p_dim, b = stats_lm.shape
+    s = w.shape[0] if fuse else llh_lm.shape[1]
     n_r, n_c = (s, s) if full_xi else (sel_r_t.shape[0], sel_c_t.shape[0])
-    dtype = llh_lm.dtype
+    dtype = stats_lm.dtype if fuse else llh_lm.dtype
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
     n_blocks = t_pad // k_steps
     if ckpts.shape[0] != n_blocks:
         raise ValueError(
             f"checkpoint count {ckpts.shape[0]} != n_blocks {n_blocks}")
-    if stats_lm.shape[0] != t_len:
+    if not fuse and llh_lm.shape[0] != t_len:
         raise ValueError(
-            f"stats length {stats_lm.shape[0]} != llh length {t_len}")
-    llh_p = _pad_tm(llh_lm, t_pad, 0.0)
+            f"stats length {t_len} != llh length {llh_lm.shape[0]}")
     stats_p = _pad_tm(stats_lm, t_pad, 0.0)
     lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
@@ -2086,8 +2158,15 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [big, const2((1, b)), ckpt_spec, big_stats]
-    args = [llh_p, lens, ckpts, stats_p]
+    if fuse:
+        in_specs = [big_stats, const2((1, b)), ckpt_spec,
+                    const2(w.shape), const2((s, 1))]
+        args = [stats_p, lens, ckpts, w.astype(jnp.float32),
+                bias.astype(jnp.float32)[:, None]]
+    else:
+        llh_p = _pad_tm(llh_lm, t_pad, 0.0)
+        in_specs = [big, const2((1, b)), ckpt_spec, big_stats]
+        args = [llh_p, lens, ckpts, stats_p]
     if banded:
         band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
         in_specs.append(const2((s, 4)))
@@ -2102,7 +2181,8 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
         args += [sel_r_t, sel_c_t]
     acc, gamma0, xi = pl.pallas_call(
         _make_estep_ckpt_acc_kernel_lm(
-            k_steps, n_blocks, banded=banded, full_xi=full_xi),
+            k_steps, n_blocks, banded=banded, full_xi=full_xi,
+            fuse_ellh=fuse),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[const2((s, p_dim + 1)), fixed_one,

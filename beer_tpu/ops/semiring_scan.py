@@ -519,18 +519,68 @@ def phone_loop_estep_ckpt_lm(llh_lm, bands, ckpts, final_vec, mask,
 
 
 def phone_loop_estep_ckpt_acc_lm(llh_lm, bands, ckpts, final_vec, mask,
-                                 sel_r_t, sel_c_t, stats_lm):
+                                 sel_r_t, sel_c_t, stats_lm,
+                                 w=None, bias=None):
     """Accumulating lane-major fused E-step
     (:func:`pallas_scan.phone_loop_estep_ckpt_acc_lm`): smoothing +
     restricted ξ + in-VMEM γᵀ@stats — the (T, S, B) γ array never
-    touches HBM.  Returns (acc2 (S, P), counts (S,), γ0 (S, B),
+    touches HBM.  With ``w (S, P)`` / ``bias (S,)``, llh is computed in
+    VMEM from the same stats stream and ``llh_lm`` is ignored (pass
+    None).  Returns (acc2 (S, P), counts (S,), γ0 (S, B),
     xi_raw (n_r, n_c)).  Not differentiable (stop-gradient inputs)."""
     from beer_tpu.ops import pallas_scan
 
     return pallas_scan.phone_loop_estep_ckpt_acc_lm(
         llh_lm, ckpts, bands, final_vec, mask, sel_r_t, sel_c_t,
-        stats_lm,
+        stats_lm, w=w, bias=bias,
     )
+
+
+@jax.custom_vjp
+def forward_stats_ckpt_banded_lm(stats_lm, bands, w, bias, trans,
+                                 init_vec, mask):
+    """Fused-ELLH lane-major checkpointed forward: streams the reduced
+    sufficient statistics (T, P, B) and computes
+    ``llh = W @ stats + bias`` in VMEM (:func:`pallas_scan._llh_block_lm`)
+    — llh never exists in HBM.  ``w`` is (S, P) (the transpose of
+    :meth:`NormalSet.ellh_matrix`'s W), ``bias`` (S,).  Same returns as
+    :func:`forward_llh_ckpt_banded_lm`; custom_vjp recomputes through
+    the matmul + jnp scan (SVAE ∂log Z/∂stats)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass_lm(
+        stats_lm, bands, init_vec, mask, w=w, bias=bias,
+    )
+
+
+def _fwd_stats_ckpt_banded_lm_ref(stats_lm, w, bias, trans, init_t,
+                                  mask):
+    stats_tm = jnp.swapaxes(stats_lm, 1, 2)            # (T, B, P)
+    llh_tm = jnp.matmul(
+        stats_tm, w.T, precision=jax.lax.Precision.HIGHEST
+    ) + bias
+    return _fwd_llh_ckpt_reference(llh_tm, trans, init_t, mask)
+
+
+def _fwd_stats_ckpt_banded_lm_fwd(*args):
+    return forward_stats_ckpt_banded_lm(*args), args
+
+
+def _fwd_stats_ckpt_banded_lm_bwd(res, ct):
+    stats_lm, bands, w, bias, trans, init_vec, mask = res
+    ct_ckpts, ct_last, ct_logz = ct
+    _, vjp = jax.vjp(
+        _fwd_stats_ckpt_banded_lm_ref, stats_lm, w, bias, trans,
+        init_vec.T, mask,
+    )
+    d_stats, d_w, d_bias, d_trans, d_init, d_mask = vjp(
+        (jnp.swapaxes(ct_ckpts, 1, 2), ct_last.T, ct_logz))
+    return (d_stats, jax.tree.map(jnp.zeros_like, bands), d_w, d_bias,
+            d_trans, d_init.T, d_mask)
+
+
+forward_stats_ckpt_banded_lm.defvjp(_fwd_stats_ckpt_banded_lm_fwd,
+                                    _fwd_stats_ckpt_banded_lm_bwd)
 
 
 @jax.custom_vjp

@@ -753,3 +753,64 @@ def test_lane_major_acc_matches_gamma_variant(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(gamma0), np.asarray(gamma[0]))
     np.testing.assert_array_equal(np.asarray(xi), np.asarray(xi_ref))
+
+
+def test_lane_major_fuse_ellh_matches_llh_variant(rng):
+    """The stats-streaming (fused-ELLH) lane-major kernels — forward
+    with w/bias, accumulating E-step computing llh in VMEM — match the
+    llh-streaming variants fed the same affine llh."""
+    b, t_len, n_units, spu, d = 16, 21, 2, 3, 4
+    s = n_units * spu
+    p_dim = 2 * d
+    ids = np.arange(s)
+    a_self = np.full(s, 0.6, np.float32)
+    a_adv = np.where(ids % spu != spu - 1, 0.4, 0.0).astype(np.float32)
+    exit_v = np.zeros(s, np.float32)
+    exit_v[ids % spu == spu - 1] = 0.2
+    w_v = np.zeros(s, np.float32)
+    w_v[ids % spu == 0] = 1.0 / n_units
+    bands = tuple(jnp.asarray(v) for v in (a_self, a_adv, exit_v, w_v))
+    stats_lm = jnp.asarray(
+        rng.normal(size=(t_len, p_dim, b)).astype(np.float32))
+    w_mat = jnp.asarray(rng.normal(size=(s, p_dim)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(s,)).astype(np.float32))
+    llh_lm = jnp.einsum("tpb,sp->tsb", stats_lm, w_mat,
+                        precision=jax.lax.Precision.HIGHEST) \
+        + bias[None, :, None]
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    iv = jnp.full((s, b), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.asarray(exit_v)[:, None], (s, b)).astype(
+        jnp.float32)
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r_t = jax.nn.one_hot(rows, s, dtype=jnp.float32)
+    sel_c_t = jax.nn.one_hot(cols, s, dtype=jnp.float32)
+
+    c1, last1, z1 = pallas_scan.forward_llh_ckpt_pass_lm(
+        llh_lm, bands, iv, mask, interpret=True)
+    c2, last2, z2 = pallas_scan.forward_llh_ckpt_pass_lm(
+        stats_lm, bands, iv, mask, interpret=True, w=w_mat, bias=bias)
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(last2), np.asarray(last1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
+                               rtol=1e-5, atol=1e-5)
+
+    a1, n1, g1, xi1 = pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        llh_lm, c1, bands, fv, mask, sel_r_t, sel_c_t, stats_lm,
+        interpret=True)
+    a2, n2, g2, xi2 = pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        None, c2, bands, fv, mask, sel_r_t, sel_c_t, stats_lm,
+        interpret=True, w=w_mat, bias=bias)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n2), np.asarray(n1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi1),
+                               rtol=1e-4, atol=1e-5)
