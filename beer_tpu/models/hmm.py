@@ -132,9 +132,82 @@ class HMM(DiscreteLatentModel):
             and self.graph.log_trans.ndim == 2
         )
 
+    def _stats_path_ok(self, b: int, s: int) -> bool:
+        """The stats-streaming (fused-ELLH + in-VMEM accumulation)
+        lane-major path: needs the diagonal reduced-stats affine form
+        (ellh_matrix / accumulate_from_moments) and a SHARED 1-D pdf
+        map + init/final (per-utterance maps can't fold into W or be
+        recovered from the batch-summed moments)."""
+        from beer_tpu.models.normal import NormalSet
+        from beer_tpu.ops import pallas_scan
+
+        return (
+            pallas_scan.FUSE_ACC
+            and pallas_scan.FUSE_ELLH
+            and _lane_major(b, s)
+            and self.graph.pdf_ids.ndim == 1
+            and self.graph.log_init.ndim == 1
+            and self.graph.log_final.ndim == 1
+            and type(self.modelset) is NormalSet
+            and self.modelset.cov_type == "diagonal"
+            and not self.modelset.fused
+        )
+
+    def _infer_fused_lm_stats(self, stats, mask, log_trans):
+        """Stats-streaming lane-major forward: llh = W_state @ stats +
+        bias computed in VMEM (the 1-D pdf selection folds into W's
+        rows: ``W_state = ellh_W.T[pdf_ids]``), so neither the per-pdf
+        nor the per-state llh array ever exists in HBM."""
+        stats_lm = jnp.transpose(stats, (1, 2, 0))      # (T, P, B)
+        t_len, _, b = stats_lm.shape
+        s = self.graph.n_states
+        dt = stats_lm.dtype
+        if mask is None:
+            mask = jnp.ones((b, t_len), dt)
+        t_pad = semiring_scan.scan_time_pad(t_len, b, s)
+        if t_pad != t_len:
+            stats_lm = jnp.concatenate([
+                stats_lm,
+                jnp.zeros((t_pad - t_len,) + stats_lm.shape[1:], dt),
+            ], axis=0)
+            mask = jnp.concatenate([
+                mask, jnp.zeros((b, t_pad - t_len), mask.dtype)
+            ], axis=1)
+        w_pk, bias_k = self.modelset.ellh_matrix()      # (P, n_pdfs)
+        w_lm = w_pk.T[self.graph.pdf_ids].astype(dt)    # (S, P)
+        bias_lm = bias_k[self.graph.pdf_ids].astype(dt)
+        tiny = jnp.finfo(dt).tiny
+        trans = jnp.exp(log_trans)
+        init_lm = jnp.broadcast_to(
+            jnp.exp(jnp.maximum(self.graph.log_init, LOG_ZERO))[:, None],
+            (s, b),
+        ).astype(dt)
+        final_lm = jnp.broadcast_to(
+            jnp.exp(jnp.maximum(self.graph.log_final, LOG_ZERO))[:, None],
+            (s, b),
+        ).astype(dt)
+        ckpts, a_last, logz_base = semiring_scan.forward_stats_ckpt_lm(
+            stats_lm, w_lm, bias_lm, trans, init_lm, mask
+        )
+        log_z = logz_base + jnp.log(
+            jnp.maximum((a_last * final_lm).sum(0), tiny)
+        )
+        log_z = log_z * (mask.sum(-1) > 0)
+        return log_z, {
+            "stats_lm": stats_lm,
+            "w_lm": w_lm,
+            "bias_lm": bias_lm,
+            "ckpts": ckpts,
+            "mask": mask,
+            "final_lm": final_lm,
+            "log_trans": log_trans,
+        }
+
     def infer(self, stats: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         log_trans = self._effective_log_trans()
         if self._fused_estep_ok():
+            if self._stats_path_ok(stats.shape[0], self.graph.n_states):
+                return self._infer_fused_lm_stats(stats, mask, log_trans)
             # same checkpointed scan pipeline as PhoneLoop.infer, with
             # full-ξ smoothing in accumulate (hmm_estep_ckpt); pad time
             # ONCE on the per-pdf llh so neither pass re-pads
@@ -238,6 +311,41 @@ class HMM(DiscreteLatentModel):
         """Full-ξ checkpointed kernel: γ + Σ_t weight·α̂⊗ŵ in one pass
         (no α̂/β̂/w streams); transition counts = xi_raw ⊙ exp(log A)."""
         sg = jax.lax.stop_gradient
+        if "w_lm" in cache:
+            # stats-streaming path: γ never materialized — fold the
+            # shared 1-D pdf map into the kernel's (S, P) moments
+            acc2, counts, _g0, xi_raw = semiring_scan.hmm_estep_ckpt_acc_lm(
+                sg(cache["stats_lm"]), sg(cache["ckpts"]),
+                sg(jnp.exp(cache["log_trans"])), sg(cache["final_lm"]),
+                sg(cache["mask"]), sg(cache["w_lm"]), sg(cache["bias_lm"]),
+            )
+            dt = cache["stats_lm"].dtype
+            n_pdfs = self.graph.n_pdfs
+            s = acc2.shape[0]
+            identity_pdfs = False
+            if n_pdfs == s:
+                try:                 # concrete (non-traced) pdf_ids only
+                    import numpy as _np
+
+                    identity_pdfs = bool(
+                        (_np.asarray(self.graph.pdf_ids)
+                         == _np.arange(s)).all())
+                except Exception:
+                    identity_pdfs = False
+            if identity_pdfs:
+                acc_pdf, counts_pdf = acc2, counts
+            else:
+                one_hot = jax.nn.one_hot(
+                    self.graph.pdf_ids, n_pdfs, dtype=acc2.dtype)  # (S, P̃)
+                acc_pdf = jnp.matmul(
+                    one_hot.T, acc2,
+                    precision=jax.lax.Precision.HIGHEST)
+                counts_pdf = one_hot.T @ counts
+            acc = {"modelset": self.modelset.accumulate_from_moments(
+                acc_pdf.astype(dt), counts_pdf.astype(dt))}
+            if self.trans_alpha_post is not None:
+                acc["trans"] = xi_raw * jnp.exp(sg(cache["log_trans"]))
+            return acc
         if "llh_lm" in cache:
             gamma_lm, xi_raw = semiring_scan.hmm_estep_ckpt_lm(
                 sg(cache["llh_lm"]), sg(cache["ckpts"]),
@@ -360,11 +468,25 @@ class HMM(DiscreteLatentModel):
         """E[#transitions i→j] summed over the batch, (S, S)."""
         if "ckpts" in cache:  # fused cache: run the full-ξ epilogue kernel
             sg = jax.lax.stop_gradient
-            _, xi_raw = semiring_scan.hmm_estep_ckpt(
-                sg(cache["llh_tm"]), sg(cache["ckpts"]),
-                sg(jnp.exp(cache["log_trans"])), sg(cache["final_vec"]),
-                sg(cache["mask"]),
-            )
+            if "w_lm" in cache:
+                _, _, _, xi_raw = semiring_scan.hmm_estep_ckpt_acc_lm(
+                    sg(cache["stats_lm"]), sg(cache["ckpts"]),
+                    sg(jnp.exp(cache["log_trans"])),
+                    sg(cache["final_lm"]), sg(cache["mask"]),
+                    sg(cache["w_lm"]), sg(cache["bias_lm"]),
+                )
+            elif "llh_lm" in cache:
+                _, xi_raw = semiring_scan.hmm_estep_ckpt_lm(
+                    sg(cache["llh_lm"]), sg(cache["ckpts"]),
+                    sg(jnp.exp(cache["log_trans"])),
+                    sg(cache["final_lm"]), sg(cache["mask"]),
+                )
+            else:
+                _, xi_raw = semiring_scan.hmm_estep_ckpt(
+                    sg(cache["llh_tm"]), sg(cache["ckpts"]),
+                    sg(jnp.exp(cache["log_trans"])),
+                    sg(cache["final_vec"]), sg(cache["mask"]),
+                )
             return xi_raw * jnp.exp(sg(cache["log_trans"]))
         # use the cache's effective log-trans (includes the learned
         # Dirichlet posterior when learn_transitions=True) — ξ must be

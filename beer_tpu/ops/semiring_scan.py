@@ -628,6 +628,56 @@ def hmm_estep_ckpt_lm(llh_lm, ckpts, trans, final_vec, mask):
     )
 
 
+def hmm_estep_ckpt_acc_lm(stats_lm, ckpts, trans, final_vec, mask,
+                          w, bias):
+    """Accumulating + fused-ELLH lane-major general-HMM E-step: full
+    (S, S) ξ, llh computed in VMEM from the stats stream, γ reduced
+    in-kernel to (Σγᵀstats, counts) — neither llh nor γ exists in HBM.
+    ``w (S, P)`` rows are the PER-STATE affine map (pdf selection
+    folded into the columns of :meth:`NormalSet.ellh_matrix`).
+    Returns (acc2 (S, P), counts (S,), γ0 (S, B), xi_raw (S, S)).
+    Not differentiable (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        None, ckpts, None, final_vec, mask, None, None, stats_lm,
+        trans=trans, w=w, bias=bias,
+    )
+
+
+@jax.custom_vjp
+def forward_stats_ckpt_lm(stats_lm, w, bias, trans, init_vec, mask):
+    """Fused-ELLH lane-major checkpointed forward for dense (S, S)
+    transitions (general shared-graph HMM) — the stats-streaming
+    mirror of :func:`forward_llh_ckpt_lm`; same returns; custom_vjp
+    recomputes through the affine map + jnp scan."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.forward_llh_ckpt_pass_lm(
+        stats_lm, None, init_vec, mask, trans=trans, w=w, bias=bias,
+    )
+
+
+def _fwd_stats_ckpt_lm_fwd(*args):
+    return forward_stats_ckpt_lm(*args), args
+
+
+def _fwd_stats_ckpt_lm_bwd(res, ct):
+    stats_lm, w, bias, trans, init_vec, mask = res
+    ct_ckpts, ct_last, ct_logz = ct
+    _, vjp = jax.vjp(
+        _fwd_stats_ckpt_banded_lm_ref, stats_lm, w, bias, trans,
+        init_vec.T, mask,
+    )
+    d_stats, d_w, d_bias, d_trans, d_init, d_mask = vjp(
+        (jnp.swapaxes(ct_ckpts, 1, 2), ct_last.T, ct_logz))
+    return (d_stats, d_w, d_bias, d_trans, d_init.T, d_mask)
+
+
+forward_stats_ckpt_lm.defvjp(_fwd_stats_ckpt_lm_fwd,
+                             _fwd_stats_ckpt_lm_bwd)
+
+
 @jax.custom_vjp
 def forward_stats_ckpt(stats_tm, w, bias, trans, init_vec, mask):
     """Fused-ELLH checkpointed forward: streams the reduced sufficient

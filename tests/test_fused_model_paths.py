@@ -291,14 +291,25 @@ def test_hmm_lane_major_matches_general(rng, force_interpret, monkeypatch):
     stats = hmm.sufficient_statistics(x)
     assert hmm._fused_estep_ok()
     monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
+    # default gates: the stats-streaming path (fused ELLH + in-VMEM
+    # moment accumulation; non-identity 1-D pdf map folds into W/acc2)
     logz_f, cache_f = hmm.infer(stats, mask)
-    assert "llh_lm" in cache_f
+    assert "w_lm" in cache_f and "llh_lm" not in cache_f
     acc_f = hmm.accumulate(stats, cache_f)
+    # γ-emitting llh-streaming lm path (BEER_FUSE_ELLH=0)
+    monkeypatch.setattr(pallas_scan, "FUSE_ELLH", False)
+    logz_l, cache_l = hmm.infer(stats, mask)
+    assert "llh_lm" in cache_l
+    acc_l = hmm.accumulate(stats, cache_l)
+    monkeypatch.setattr(pallas_scan, "FUSE_ELLH", True)
     monkeypatch.setattr(pallas_scan, "LANE_MAJOR", False)
     logz_g, acc_g = _general_path(hmm, stats, mask, monkeypatch)
     np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
                                rtol=2e-5, atol=1e-4)
     _assert_acc_close(acc_f, acc_g)
+    np.testing.assert_allclose(np.asarray(logz_l), np.asarray(logz_g),
+                               rtol=2e-5, atol=1e-4)
+    _assert_acc_close(acc_l, acc_g)
 
     monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
     elbo_f, _ = vb_step(hmm, x, mask=mask)
