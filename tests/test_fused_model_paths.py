@@ -357,3 +357,43 @@ def test_recognizer_fused_path_matches_general(rng, force_interpret,
     np.testing.assert_allclose(np.asarray(logz_l), np.asarray(logz_g),
                                rtol=2e-4, atol=5e-3)
     _assert_acc_close(acc_l, acc_g)
+
+
+def test_hmm_stats_path_zero_length_utterance(rng, force_interpret,
+                                              monkeypatch):
+    """A fully-masked (zero-length) utterance through the
+    stats-streaming lane-major path: log Z must be exactly 0 for that
+    row, accumulated stats must match the general path, and nothing may
+    go NaN."""
+    S, P, D, B, T = 6, 3, 2, 3, 17
+    g = graph_mod.Graph()
+    states = [g.add_state(i % P) for i in range(S)]
+    for s in states:
+        for t in states:
+            g.add_arc(s, t, 1.0 / S)
+        g.set_init(s)
+        g.set_final(s, 0.2)
+    g.normalize()
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), P, cov_type="diagonal", noise_std=0.5,
+        key=jax.random.PRNGKey(2),
+    )
+    hmm = HMM.create(g, nset, learn_transitions=True)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[1, :] = 0.0                      # zero-length utterance
+    mask[2, 5:] = 0.0
+    mask = jnp.asarray(mask)
+
+    stats = hmm.sufficient_statistics(x)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
+    logz_f, cache_f = hmm.infer(stats, mask)
+    assert "w_lm" in cache_f
+    assert float(logz_f[1]) == 0.0
+    assert np.all(np.isfinite(np.asarray(logz_f)))
+    acc_f = hmm.accumulate(stats, cache_f)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", False)
+    logz_g, acc_g = _general_path(hmm, stats, mask, monkeypatch)
+    np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
+                               rtol=2e-5, atol=1e-4)
+    _assert_acc_close(acc_f, acc_g)
