@@ -17,9 +17,11 @@
 #
 # is the claim stage 9 checks (the starved 4-utterance baseline itself
 # trails the k-means frame floor — that is the low-resource premise the
-# subspace transfer exists to fix).  Measured on a from-scratch run of
-# this script (CPU f32, seed 0): k-means 35.8, baseline 34.5, H-SHMM
-# 41.0 NMI (boundary-F 50.8 -> 59.0) — subspace sharing with the
+# subspace transfer exists to fix).  Measured on from-scratch runs of
+# this script (seed 0): CPU f32 — k-means 35.8, baseline 34.5, H-SHMM
+# 41.0 NMI (boundary-F 50.8 -> 59.0); TPU v5e f32 (lane-major fused
+# kernels, round-3 defaults) — k-means 35.8, baseline 34.5, H-SHMM
+# 41.6 NMI (boundary-F 57.3 -> 57.9).  Subspace sharing with the
 # resourced languages recovers what 4 utterances cannot.  Scores print
 # from score.py; the recipe regenerates everything from scratch (exp/
 # is gitignored).
