@@ -176,7 +176,6 @@ class HMM(DiscreteLatentModel):
         w_pk, bias_k = self.modelset.ellh_matrix()      # (P, n_pdfs)
         w_lm = w_pk.T[self.graph.pdf_ids].astype(dt)    # (S, P)
         bias_lm = bias_k[self.graph.pdf_ids].astype(dt)
-        tiny = jnp.finfo(dt).tiny
         trans = jnp.exp(log_trans)
         init_lm = jnp.broadcast_to(
             jnp.exp(jnp.maximum(self.graph.log_init, LOG_ZERO))[:, None],
@@ -186,13 +185,9 @@ class HMM(DiscreteLatentModel):
             jnp.exp(jnp.maximum(self.graph.log_final, LOG_ZERO))[:, None],
             (s, b),
         ).astype(dt)
-        ckpts, a_last, logz_base = semiring_scan.forward_stats_ckpt_lm(
-            stats_lm, w_lm, bias_lm, trans, init_lm, mask
+        log_z, ckpts = semiring_scan.hmm_logz_stats_lm(
+            stats_lm, w_lm, bias_lm, trans, init_lm, final_lm, mask
         )
-        log_z = logz_base + jnp.log(
-            jnp.maximum((a_last * final_lm).sum(0), tiny)
-        )
-        log_z = log_z * (mask.sum(-1) > 0)
         return log_z, {
             "stats_lm": stats_lm,
             "w_lm": w_lm,

@@ -233,17 +233,18 @@ class PhoneLoop(DiscreteLatentModel):
         fuse_ellh = pallas_scan.FUSE_ELLH and pallas_scan.FUSE_ACC
         if fuse_ellh:
             # stream stats only: llh = W@stats + bias computed in VMEM
-            # by both kernels (never exists in HBM).  Cast the affine
-            # params to the stats dtype HERE so the custom_vjp's
-            # reference recompute and the kernel primal agree (under
-            # x64 tests ellh_matrix returns f64; the kernel always
-            # computes in f32).
+            # by both kernels (never exists in HBM); gradients through
+            # log Z use the Fisher-identity backward (one fused
+            # smoothing pass — semiring_scan.phone_loop_logz_stats_lm).
+            # Cast the affine params to the stats dtype HERE so the
+            # vjp recompute and the f32 kernel primal agree under x64
+            # test configs.
             llh_lm = None
             w_lm = w_mat.T.astype(dt)                  # (S, P)
             bias = bias.astype(dt)
-            ckpts, a_last, logz_base = \
-                semiring_scan.forward_stats_ckpt_banded_lm(
-                    stats_lm, bands, w_lm, bias, trans, init_lm, mask)
+            log_z, ckpts = semiring_scan.phone_loop_logz_stats_lm(
+                stats_lm, bands, w_lm, bias, trans, init_lm, final_lm,
+                mask)
         else:
             w_lm = None
             llh_lm = jnp.einsum(
@@ -253,10 +254,10 @@ class PhoneLoop(DiscreteLatentModel):
             ckpts, a_last, logz_base = \
                 semiring_scan.forward_llh_ckpt_banded_lm(
                     llh_lm, bands, trans, init_lm, mask)
-        log_z = logz_base + jnp.log(
-            jnp.maximum((a_last * final_lm).sum(0), tiny)
-        )
-        log_z = log_z * (mask.sum(-1) > 0)
+            log_z = logz_base + jnp.log(
+                jnp.maximum((a_last * final_lm).sum(0), tiny)
+            )
+            log_z = log_z * (mask.sum(-1) > 0)
         return log_z, {
             "llh_lm": llh_lm,
             "w_lm": w_lm,

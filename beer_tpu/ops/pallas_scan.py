@@ -1727,25 +1727,36 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
 
 def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
                                banded: bool = True,
-                               full_xi: bool = False):
+                               full_xi: bool = False,
+                               fuse_ellh: bool = False):
     """Lane-major mirror of :func:`_make_estep_ckpt_kernel`
     (γ-emitting): identical per-row arithmetic on (S, B) tiles; the
     selection products contract the state (sublane) dim on the MXU, the
     ξ outer products contract the batch (lane) dim.  ``banded=False``
     takes TWO dense (S, S) matrices (transᵀ for the α̂ recompute, trans
     for the v-space backward); ``full_xi`` = identity selections
-    (general-HMM (S, S) ξ).  No lane-chunked variant — see
+    (general-HMM (S, S) ξ).  With ``fuse_ellh`` the stream is the
+    reduced stats and llh is computed in VMEM (:func:`_llh_block_lm`).
+    No lane-chunked variant — see
     :func:`_make_fwd_llh_ckpt_kernel_lm`."""
 
     def kernel(*refs):
-        if banded:
-            (llh_ref, len_ref, ckpt_ref, band_ref, final_ref) = refs[:5]
+        if fuse_ellh:
+            (llh_ref, len_ref, ckpt_ref, w_ref, bias_ref) = refs[:5]
             rest = refs[5:]
+        else:
+            (llh_ref, len_ref, ckpt_ref) = refs[:3]
+            rest = refs[3:]
+            w_ref = bias_ref = None
+        if banded:
+            band_ref = rest[0]
+            rest = rest[1:]
             trans_t_ref = None
         else:
-            (llh_ref, len_ref, ckpt_ref, band_ref, trans_t_ref,
-             final_ref) = refs[:6]
-            rest = refs[6:]
+            band_ref, trans_t_ref = rest[:2]
+            rest = rest[2:]
+        final_ref = rest[0]
+        rest = rest[1:]
         if full_xi:
             selr_ref = selc_ref = None
         else:
@@ -1767,7 +1778,9 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
         first_time_block = pid == n_blocks - 1
         m_all = _block_masks_lm(len_ref, t0, k_steps)
         mn_all = _block_masks_lm(len_ref, t0, k_steps, shift=1)
-        e_all, _ = _exp_block_lm(llh_ref[:].astype(jnp.float32), m_all)
+        llh_all = (_llh_block_lm(llh_ref, w_ref, bias_ref) if fuse_ellh
+                   else llh_ref[:].astype(jnp.float32))
+        e_all, _ = _exp_block_lm(llh_all, m_all)
 
         if banded:
             propagate, propagate_t = _band_propagators_lm(band_ref)
@@ -1867,7 +1880,7 @@ def _make_estep_ckpt_kernel_lm(k_steps: int, n_blocks: int,
 def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
                                   sel_r_t, sel_c_t,
                                   interpret: bool = False, trans=None,
-                                  batch_chunks=None):
+                                  batch_chunks=None, w=None, bias=None):
     """Lane-major fused smoothing + restricted ξ from forward
     checkpoints — the (S, B) mirror of
     :func:`phone_loop_estep_ckpt_pass` (γ-emitting).
@@ -1877,6 +1890,8 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
     sel_r_t/sel_c_t (n, S) one-hot selections (pre-transposed) — or
     both ``None`` for full (S, S) ξ (identity selections, general HMM).
     ``bands=None, trans=(S, S)`` selects the dense transition path.
+    With ``w (S, P)`` / ``bias (S,)``, ``llh_lm`` is instead the
+    reduced stats stream (T, P, B) and llh is computed in VMEM.
     Returns (γ (T, S, B), xi_raw (n_r, n_c)).  ``batch_chunks`` is
     accepted for signature parity with the batch-major pass but
     IGNORED — see :func:`_make_fwd_llh_ckpt_kernel_lm`.
@@ -1884,7 +1899,10 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
     del batch_chunks
     banded = bands is not None
     full_xi = sel_r_t is None
-    t_len, s, b = llh_lm.shape
+    fuse = w is not None
+    t_len = llh_lm.shape[0]
+    b = llh_lm.shape[2]
+    s = w.shape[0] if fuse else llh_lm.shape[1]
     n_r, n_c = (s, s) if full_xi else (sel_r_t.shape[0], sel_c_t.shape[0])
     dtype = llh_lm.dtype
     k_steps = _steps_per_block(b, s)
@@ -1897,12 +1915,18 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
     lens = mask.astype(jnp.float32).sum(-1)[None, :]   # (1, B)
     rev = lambda g: (n_blocks - 1 - g, 0, 0)
     big = pl.BlockSpec((k_steps, s, b), rev, memory_space=pltpu.VMEM)
+    big_in = pl.BlockSpec((k_steps, llh_lm.shape[1], b), rev,
+                          memory_space=pltpu.VMEM)
     ckpt_spec = pl.BlockSpec((1, s, b), rev, memory_space=pltpu.VMEM)
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
-    in_specs = [big, const2((1, b)), ckpt_spec]
+    in_specs = [big_in, const2((1, b)), ckpt_spec]
     args = [llh_p, lens, ckpts]
+    if fuse:
+        in_specs += [const2(w.shape), const2((s, 1))]
+        args += [w.astype(jnp.float32),
+                 bias.astype(jnp.float32)[:, None]]
     if banded:
         band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
         in_specs.append(const2((s, 4)))
@@ -1917,7 +1941,8 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
         args += [sel_r_t, sel_c_t]
     gamma, xi = pl.pallas_call(
         _make_estep_ckpt_kernel_lm(
-            k_steps, n_blocks, banded=banded, full_xi=full_xi),
+            k_steps, n_blocks, banded=banded, full_xi=full_xi,
+            fuse_ellh=fuse),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[big, const2((n_r, n_c))],
