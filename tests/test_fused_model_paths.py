@@ -397,3 +397,49 @@ def test_hmm_stats_path_zero_length_utterance(rng, force_interpret,
     np.testing.assert_allclose(np.asarray(logz_f), np.asarray(logz_g),
                                rtol=2e-5, atol=1e-4)
     _assert_acc_close(acc_f, acc_g)
+
+
+def test_hmm_stats_path_logz_gradient_matches_general(rng, force_interpret,
+                                                      monkeypatch):
+    """∂(Σ log Z)/∂data through the HMM stats-streaming path uses the
+    Fisher-identity backward (hmm_logz_stats_lm: one fused smoothing
+    pass, ∂log Z/∂llh = γ); it must match autodiff through the general
+    scan path."""
+    S, P, D, B, T = 6, 3, 2, 3, 17
+    g = graph_mod.Graph()
+    states = [g.add_state(i % P) for i in range(S)]
+    for s in states:
+        for t in states:
+            g.add_arc(s, t, 1.0 / S)
+        g.set_init(s)
+        g.set_final(s, 0.2)
+    g.normalize()
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.eye(D), P, cov_type="diagonal", noise_std=0.5,
+        key=jax.random.PRNGKey(5),
+    )
+    hmm = HMM.create(g, nset)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    mask = np.ones((B, T), np.float32)
+    mask[2, 9:] = 0
+    mask = jnp.asarray(mask)
+
+    def logz_sum(x):
+        stats = hmm.sufficient_statistics(x)
+        log_z, _ = hmm.infer(stats, mask)
+        return log_z.sum()
+
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", True)
+    _, cache = hmm.infer(hmm.sufficient_statistics(x), mask)
+    assert "w_lm" in cache          # the stats path is what we test
+    g_f = jax.grad(logz_sum)(x)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", False)
+    with monkeypatch.context() as m:
+        m.setattr(pallas_scan, "FORCE_INTERPRET", False)
+        pallas_scan.available.cache_clear()
+        try:
+            g_g = jax.grad(logz_sum)(x)
+        finally:
+            pallas_scan.available.cache_clear()
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_g),
+                               rtol=5e-4, atol=1e-5)
