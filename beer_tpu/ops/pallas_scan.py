@@ -78,9 +78,9 @@ BATCH_CHUNKS = int(os.environ.get("BEER_SCAN_BATCH_CHUNKS", "1"))
 # variants (see the lane-major section below): at small state counts the
 # batch-major (B, S) tiles pad S up to whole 128-lane groups (41% dead
 # lanes at S=150, 77% at S=30) while the serial chains are ~all VPU ops.
-# "auto" picks the orientation with fewer f32 vregs per (B, S) value —
-# lane-major wins for big-batch/small-S shapes, batch-major for small
-# per-shard batches (e.g. B=64 dp shards).  Module-level so
+# "auto" compares f32 vregs per (B, S) value with a measured 2.5×
+# lane-major handicap (see use_lane_major) — lane-major wins everywhere
+# except tiny per-shard batches (B=16 at S=150).  Module-level so
 # tests/benchmarks can flip it; consulted by PhoneLoop.infer / HMM.infer
 # at trace time ("0" = off, "1" = always, "auto" = by shape).
 # Default "auto": the on-chip gate run (tools/exp_batch_chunks.py,
@@ -107,14 +107,23 @@ FUSE_ELLH = os.environ.get("BEER_FUSE_ELLH", "1") != "0"
 
 
 def use_lane_major(b: int, s: int) -> bool:
-    """Trace-time orientation choice for the fused E-step kernels."""
+    """Trace-time orientation choice for the fused E-step kernels.
+
+    Compares f32 vregs per (B, S) value in each orientation, but weights
+    the lane-major side by 2.5×: its kernels carry the acc/ellh fusions
+    (γ and llh never touch HBM), so it beats batch-major well past vreg
+    parity.  Factor fixed by an on-chip dp-shard sweep (v5e, S=150,
+    T=500, full vb_step): lane-major won at B=32 (0.34 vs 0.58 ms,
+    vreg ratio 2.4) and B=64 (0.47 vs 1.02), batch-major only at B=16
+    (ratio 4.75) — the threshold sits between those ratios.
+    """
     mode = LANE_MAJOR
     if mode in (True, "1", "true"):
         return True
     if mode == "auto":
         bm_vregs = -(-b // 8) * -(-s // 128)
         lm_vregs = -(-s // 8) * -(-b // 128)
-        return lm_vregs < bm_vregs
+        return lm_vregs < 2.5 * bm_vregs
     return False
 
 

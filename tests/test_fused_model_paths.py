@@ -443,3 +443,18 @@ def test_hmm_stats_path_logz_gradient_matches_general(rng, force_interpret,
             pallas_scan.available.cache_clear()
     np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_g),
                                rtol=5e-4, atol=1e-5)
+
+
+def test_use_lane_major_gate(monkeypatch):
+    """The auto gate reproduces the on-chip dp-shard sweep (v5e, S=150):
+    lane-major for B>=32, batch-major at B=16; forced modes override."""
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", "auto")
+    assert not pallas_scan.use_lane_major(16, 150)
+    for b in (32, 64, 128, 512):
+        assert pallas_scan.use_lane_major(b, 150)
+    # small-S shapes (hmm bench config) are lane-major at any dp shard
+    assert pallas_scan.use_lane_major(32, 30)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", "1")
+    assert pallas_scan.use_lane_major(16, 150)
+    monkeypatch.setattr(pallas_scan, "LANE_MAJOR", "0")
+    assert not pallas_scan.use_lane_major(512, 150)
