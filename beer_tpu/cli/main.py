@@ -9,7 +9,8 @@ import sys
 GROUPS = {
     "dataset": ["create"],
     "features": ["extract"],
-    "hmm": ["mkphones", "mkphoneloop", "align", "train", "decode"],
+    "hmm": ["mkphones", "mkphoneloop", "align", "train", "decode",
+            "accumulate", "update"],
     "shmm": ["train"],
 }
 
@@ -21,7 +22,7 @@ GROUPS = {
 # recompile per utterance length, which the tunnel makes minutes-per-
 # shape (pass --device tpu for large bucketed corpora).  Override with
 # --device.
-_TPU_WORTHY = {("hmm", "train"), ("shmm", "train")}
+_TPU_WORTHY = {("hmm", "train"), ("shmm", "train"), ("hmm", "accumulate")}
 
 
 def _tpu_reachable(timeout: float = 90.0) -> bool:

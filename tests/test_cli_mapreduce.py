@@ -1,0 +1,96 @@
+"""File-based map-reduce VB-EM: accumulate shards + update == vb_step.
+
+Reference parity: ``utils/parallel/`` in the reference recipes — the
+Kaldi-style job-array map-reduce over utterance shards (SURVEY.md §2.10).
+``beer hmm accumulate --shard i/N`` + ``beer hmm update`` must reproduce
+one full-batch conjugate update exactly (same statistics, same ELBO),
+because the per-shard statistics are sums over disjoint utterances.
+"""
+
+import numpy as np
+import pytest
+
+from beer_tpu.cli.main import main as cli
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    root = tmp_path_factory.mktemp("mapreduce")
+    feats = {
+        f"utt{i}": rng.normal(size=(int(rng.integers(20, 60)), 6)).astype(
+            np.float32
+        )
+        for i in range(5)
+    }
+    np.savez(root / "feats.npz", **feats)
+    (root / "hmm.yml").write_text(
+        "n_units: 3\nstates_per_unit: 2\ncov_type: diagonal\n"
+        "concentration: 2.0\n"
+    )
+    assert cli([
+        "hmm", "mkphoneloop", str(root / "hmm.yml"),
+        str(root / "feats.npz"), str(root / "init.mdl"),
+    ]) == 0
+    return root
+
+
+def test_accumulate_update_matches_vb_step(workdir):
+    import jax
+    import jax.numpy as jnp
+
+    from beer_tpu.cli.subcommands.hmm_train import pad_archive
+    from beer_tpu.utils import load_model
+    from beer_tpu.vbi import vb_step
+
+    root = workdir
+    for shard in ("1/2", "2/2"):
+        assert cli([
+            "hmm", "accumulate", str(root / "init.mdl"),
+            str(root / "feats.npz"),
+            str(root / f"shard{shard[0]}.acc"), "--shard", shard,
+        ]) == 0
+    assert cli([
+        "hmm", "update", str(root / "init.mdl"), str(root / "mr.mdl"),
+        str(root / "shard1.acc"), str(root / "shard2.acc"),
+    ]) == 0
+
+    model = load_model(root / "init.mdl")
+    _, data, mask = pad_archive(str(root / "feats.npz"))
+    _, full = vb_step(model, jnp.asarray(data), mask=jnp.asarray(mask))
+    reduced = load_model(root / "mr.mdl")
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(reduced)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_shard_elbos_reduce_to_full_elbo(workdir, capsys):
+    """Sum of shard ELBOs (KL kept once) == full-batch ELBO."""
+    import jax.numpy as jnp
+
+    from beer_tpu.cli.subcommands.hmm_train import pad_archive
+    from beer_tpu.utils import load_model
+    from beer_tpu.vbi import elbo_and_stats
+
+    root = workdir
+    payload1 = load_model(root / "shard1.acc")
+    payload2 = load_model(root / "shard2.acc")
+    model = load_model(root / "init.mdl")
+    kl = float(model.kl_div_posterior_prior())
+    reduced_elbo = float(payload1["elbo"]) + float(payload2["elbo"]) + kl
+
+    _, data, mask = pad_archive(str(root / "feats.npz"))
+    full_elbo, _ = elbo_and_stats(model, jnp.asarray(data),
+                                  mask=jnp.asarray(mask))
+    frames = float(mask.sum())
+    assert abs(reduced_elbo - float(full_elbo)) / frames < 1e-4
+    assert float(payload1["frames"]) + float(payload2["frames"]) == frames
+
+
+def test_update_rejects_duplicate_shards(workdir):
+    root = workdir
+    with pytest.raises(SystemExit):
+        cli([
+            "hmm", "update", str(root / "init.mdl"), str(root / "dup.mdl"),
+            str(root / "shard1.acc"), str(root / "shard1.acc"),
+        ])
