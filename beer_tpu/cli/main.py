@@ -22,7 +22,11 @@ GROUPS = {
 # recompile per utterance length, which the tunnel makes minutes-per-
 # shape (pass --device tpu for large bucketed corpora).  Override with
 # --device.
-_TPU_WORTHY = {("hmm", "train"), ("shmm", "train"), ("hmm", "accumulate")}
+# Subcommands that default to the accelerator under --device auto.
+# `hmm accumulate` is deliberately NOT here: recipes fan out N concurrent
+# accumulate processes (recipes/lib/parallel_vbem.sh) and the exclusive
+# TPU backend admits one; a single-job accumulate can pass --device tpu.
+_TPU_WORTHY = {("hmm", "train"), ("shmm", "train")}
 
 
 def _tpu_reachable(timeout: float = 90.0) -> bool:

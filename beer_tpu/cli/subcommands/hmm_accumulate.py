@@ -80,7 +80,9 @@ def main(args):
     model = load_model(args.model)
     estep = jax.jit(lambda m, x, msk: elbo_and_stats(m, x, mask=msk))
 
-    batch = args.batch_size or len(indices)
+    # Static batch shape only matters when there are multiple batches;
+    # a single-batch shard should not zero-pad 5 utterances up to 512.
+    batch = min(args.batch_size or len(indices), len(indices))
     total_elbo, total_frames, n_batches = 0.0, 0.0, 0
     acc_sum = None
     for lo in range(0, len(indices), batch):

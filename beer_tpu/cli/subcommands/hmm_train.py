@@ -44,10 +44,11 @@ def setup(parser):
     )
     parser.add_argument(
         "--nan-guard", action="store_true",
-        help="checkify the training step: any non-finite value in the "
-        "log-space recursions or updated parameters raises with location "
-        "info instead of silently corrupting the run (single-device and "
-        "minibatch paths)",
+        help="guard the training step: any non-finite value in the "
+        "updated parameters or ELBO raises with location info instead of "
+        "silently corrupting the run (checkify on single-device paths; "
+        "an output-side finite check on data-parallel steps, where "
+        "checkify cannot wrap shard_map collectives)",
     )
     parser.add_argument(
         "--transcriptions", default=None,
@@ -129,6 +130,20 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
 
         def estep(m, x, msk):
             return dp_estep(m, x, msk)
+
+        if args.nan_guard:
+            # checkify cannot wrap shard_map collectives; guard the step
+            # outputs instead (same semantics: the checkify path also
+            # only validates outputs).
+            from beer_tpu.utils.debug import guard_finite_outputs
+
+            check = guard_finite_outputs("vb_step[dp]")
+            dp_raw = step
+
+            def step(m, x, msk, ds):
+                out = dp_raw(m, x, msk, ds)
+                check(out)
+                return out
     else:
         step = jax.jit(
             lambda m, x, msk, ds: vb_step(
@@ -321,6 +336,16 @@ def main(args):
         mask = mask * valid[:, None]
         step = parallel.make_vb_train_step(mesh, lrate=args.lrate)
         print(f"data-parallel over {n_dev} devices")
+        if args.nan_guard:
+            from beer_tpu.utils.debug import guard_finite_outputs
+
+            check = guard_finite_outputs("vb_step[dp]")
+            dp_raw = step
+
+            def step(m, x, msk):
+                out = dp_raw(m, x, msk)
+                check(out)
+                return out
     elif args.nan_guard:
         from beer_tpu.utils.debug import nan_guard
 

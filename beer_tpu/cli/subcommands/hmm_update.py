@@ -15,6 +15,12 @@ def setup(parser):
     parser.add_argument("outmodel", help="updated model (.mdl)")
     parser.add_argument("accs", nargs="+", help="shard statistics (.acc)")
     parser.add_argument("--lrate", type=float, default=1.0)
+    parser.add_argument(
+        "--allow-partial", action="store_true",
+        help="reduce even if the .acc files do not form one complete "
+        "i/N shard set (default: hard error, so stale shards from a "
+        "crashed run with a different --shard N cannot be summed in)",
+    )
 
 
 def main(args):
@@ -41,11 +47,18 @@ def main(args):
         total_utts += int(payload["n_utts"])
     n_shards = {n for _, n in seen}
     if len(n_shards) != 1 or len(seen) != next(iter(n_shards)):
-        print(
-            f"warning: reducing {len(seen)} acc files with shard specs "
-            f"{sorted(seen)} — not a complete i/N set; the update uses "
-            "exactly the statistics given"
+        msg = (
+            f"reducing {len(seen)} acc files with shard specs "
+            f"{sorted(seen)} — not a complete i/N set"
         )
+        if not args.allow_partial:
+            raise SystemExit(
+                f"error: {msg}; stale .acc files from an earlier run "
+                "with a different shard count would be silently summed "
+                "in. Remove them, or pass --allow-partial to reduce "
+                "exactly the statistics given."
+            )
+        print(f"warning: {msg}; the update uses exactly the statistics given")
 
     # per-shard ELBOs each subtract the full KL(q||p) once; keep it once
     kl = float(model.kl_div_posterior_prior())

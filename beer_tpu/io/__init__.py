@@ -36,7 +36,15 @@ _NATIVE_DIR = Path(__file__).parent / "native"
 # Writer (host-side, pure Python)
 # ----------------------------------------------------------------------
 def write_archive(path, utterances: Dict[str, np.ndarray]) -> None:
-    """Write a BEER_AR1 archive from {uttid: (T, D) float32 array}."""
+    """Write a BEER_AR1 archive from {uttid: (T, D) float32 array}.
+
+    The archive is written to a process-unique temp file and published
+    with an atomic ``os.replace`` so concurrent readers (e.g. N parallel
+    ``hmm accumulate`` jobs all converting the same .npz on first use)
+    see either no file or a complete one, never a torn write.
+    """
+    import os
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     items = [(k, np.ascontiguousarray(v, np.float32)) for k, v in utterances.items()]
@@ -47,19 +55,24 @@ def write_archive(path, utterances: Dict[str, np.ndarray]) -> None:
     # mmap are aligned (each utterance's nbytes is a multiple of 4, so
     # alignment of the first offset carries through).
     data_start = -(-index_size // 4) * 4
-    with open(path, "wb") as fh:
-        fh.write(_MAGIC)
-        fh.write(pystruct.pack("<Q", len(items)))
-        offset = data_start
-        for uttid, feats in items:
-            encoded = uttid.encode()
-            fh.write(pystruct.pack("<I", len(encoded)))
-            fh.write(encoded)
-            fh.write(pystruct.pack("<QII", offset, feats.shape[0], feats.shape[1]))
-            offset += feats.nbytes
-        fh.write(b"\0" * (data_start - index_size))
-        for _, feats in items:
-            fh.write(feats.tobytes())
+    tmp = path.with_name(f".{path.name}.tmp.{os.getpid()}")
+    try:
+        with open(tmp, "wb") as fh:
+            fh.write(_MAGIC)
+            fh.write(pystruct.pack("<Q", len(items)))
+            offset = data_start
+            for uttid, feats in items:
+                encoded = uttid.encode()
+                fh.write(pystruct.pack("<I", len(encoded)))
+                fh.write(encoded)
+                fh.write(pystruct.pack("<QII", offset, feats.shape[0], feats.shape[1]))
+                offset += feats.nbytes
+            fh.write(b"\0" * (data_start - index_size))
+            for _, feats in items:
+                fh.write(feats.tobytes())
+        os.replace(tmp, path)
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def convert_npz(npz_path, archive_path) -> None:

@@ -35,6 +35,41 @@ def nan_guard(fn, name: str = "fn"):
     return checkify.checkify(checked)
 
 
+def guard_finite_outputs(name: str = "step"):
+    """Output-side NaN guard for steps checkify cannot wrap.
+
+    ``checkify`` does not compose with ``shard_map`` collectives, so the
+    data-parallel training step cannot use :func:`nan_guard`.  Semantics
+    stay identical — the checkify guard also only validates *outputs* —
+    but the check runs as a separate tiny jitted reduction over the step
+    output.  Returns ``check(out_tree)`` which raises
+    :class:`FloatingPointError` naming the offending leaves.
+    """
+
+    @jax.jit
+    def _flags(tree):
+        return [
+            jnp.all(jnp.isfinite(leaf))
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+            else jnp.bool_(True)
+            for leaf in jax.tree.leaves(tree)
+        ]
+
+    def check(tree):
+        flags = _flags(tree)
+        if all(bool(f) for f in flags):
+            return
+        paths = jax.tree_util.tree_flatten_with_path(tree)[0]
+        bad = [
+            jax.tree_util.keystr(path)
+            for (path, _), ok in zip(paths, flags)
+            if not bool(ok)
+        ]
+        raise FloatingPointError(f"{name}: non-finite values in outputs at {bad}")
+
+    return check
+
+
 def assert_finite(tree, name: str = "tree") -> None:
     """Eager (non-jit) finite check for tests and debugging."""
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:

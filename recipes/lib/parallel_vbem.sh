@@ -18,8 +18,23 @@
 set -euo pipefail
 
 model=$1 feats=$2 work=$3 njobs=$4 epochs=$5 lrate=${6:-1.0}
+# Host-level shard fan-out is the CPU path by design: N concurrent jobs
+# must not race for the single exclusive TPU backend. Export BEER_DEVICE
+# explicitly to override (e.g. njobs=1 on a dedicated chip).
+BEER_DEVICE=${BEER_DEVICE:-cpu}
 beer() { python -m beer_tpu.cli "$@" ${BEER_DEVICE:+--device "$BEER_DEVICE"}; }
 mkdir -p "$work"
+
+# Convert .npz feature archives to .bar ONCE before forking the job
+# array so N accumulate jobs never race on first-use conversion (the
+# conversion itself is atomic too — write_archive publishes via rename).
+case $feats in
+    *.npz) [ -f "$feats.bar" ] || python - "$feats" <<'EOF'
+import sys
+from beer_tpu import io as bio
+bio.convert_npz(sys.argv[1], sys.argv[1] + ".bar")
+EOF
+esac
 
 current=$model
 start=0
@@ -31,6 +46,9 @@ if [ -n "$latest" ]; then
 fi
 
 for epoch in $(seq $((start + 1)) "$epochs"); do
+    # Drop leftovers from a crashed run (possibly with a different njobs)
+    # so the reduce never sums stale shards into the update.
+    rm -f "$work"/epoch"$epoch".*.acc
     pids=()
     for j in $(seq 1 "$njobs"); do
         beer hmm accumulate "$current" "$feats" \

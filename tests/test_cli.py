@@ -263,6 +263,30 @@ def test_nan_guard_catches_corruption(workdir, tmp_path):
         ])
 
 
+def test_nan_guard_catches_corruption_data_parallel(workdir, tmp_path):
+    """--nan-guard is live under dp too (output-side finite check —
+    checkify cannot wrap shard_map collectives)."""
+    root = workdir
+    feats = dict(np.load(root / "feats.npz"))
+    first = sorted(feats)[0]
+    feats[first] = feats[first].copy()
+    feats[first][0, 0] = np.nan
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, **feats)
+
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        cli([
+            "hmm", "train", str(root / "init.mdl"), str(bad),
+            str(tmp_path / "guard_dp"), "--epochs", "1", "--nan-guard",
+        ])
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        cli([
+            "hmm", "train", str(root / "init.mdl"), str(bad),
+            str(tmp_path / "guard_dp_mb"), "--epochs", "1", "--nan-guard",
+            "--batch-size", "4",
+        ])
+
+
 def test_shmm_multilingual_cli(workdir, tmp_path):
     """H-SHMM path: --extra-lang switches to a HierarchicalGSM with one
     shared subspace + per-language embeddings, writes per-language loops."""

@@ -94,3 +94,65 @@ def test_update_rejects_duplicate_shards(workdir):
             "hmm", "update", str(root / "init.mdl"), str(root / "dup.mdl"),
             str(root / "shard1.acc"), str(root / "shard1.acc"),
         ])
+
+
+def test_update_rejects_incomplete_shard_set(workdir, tmp_path):
+    """A non-complete i/N set hard-errors (stale .acc protection) unless
+    --allow-partial is given."""
+    root = workdir
+    with pytest.raises(SystemExit, match="not a complete"):
+        cli([
+            "hmm", "update", str(root / "init.mdl"),
+            str(tmp_path / "part.mdl"), str(root / "shard1.acc"),
+        ])
+    assert cli([
+        "hmm", "update", str(root / "init.mdl"),
+        str(tmp_path / "part.mdl"), str(root / "shard1.acc"),
+        "--allow-partial",
+    ]) == 0
+    assert (tmp_path / "part.mdl").exists()
+
+
+def test_single_batch_shard_does_not_pad_to_batch_size(workdir, tmp_path, capsys):
+    """A 5-utterance shard with the default --batch-size 512 computes a
+    5-utterance batch, not a zero-padded 512-utterance one (and still
+    produces the exact statistics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from beer_tpu.cli.subcommands.hmm_train import pad_archive
+    from beer_tpu.utils import load_model
+    from beer_tpu.vbi import elbo_and_stats
+
+    root = workdir
+    out = tmp_path / "whole.acc"
+    assert cli([
+        "hmm", "accumulate", str(root / "init.mdl"),
+        str(root / "feats.npz"), str(out),
+    ]) == 0
+    payload = load_model(out)
+    model = load_model(root / "init.mdl")
+    _, data, mask = pad_archive(str(root / "feats.npz"))
+    _, acc = elbo_and_stats(model, jnp.asarray(data), mask=jnp.asarray(mask))
+    for a, b in zip(jax.tree.leaves(payload["acc"]), jax.tree.leaves(acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_archive_write_is_atomic(tmp_path):
+    """write_archive publishes via rename: no partial file is ever visible
+    at the target path, and concurrent converters are safe."""
+    import os
+
+    from beer_tpu import io as bio
+
+    rng = np.random.default_rng(0)
+    utts = {f"u{i}": rng.normal(size=(10, 4)).astype(np.float32)
+            for i in range(3)}
+    target = tmp_path / "feats.bar"
+    bio.write_archive(target, utts)
+    arch = bio.Archive(str(target))
+    assert len(arch) == 3
+    arch.close()
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
+    assert leftovers == []

@@ -114,3 +114,18 @@ def test_checkpoint_roundtrip_all_families(rng, tmp_path):
     x = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
     elbo, *_ = step(vae, opt_state, x, jax.random.PRNGKey(0))
     assert np.isfinite(float(elbo))
+
+
+def test_guard_finite_outputs():
+    """Output-side guard for dp steps: passes finite trees, raises with
+    leaf paths on non-finite ones."""
+    check = utils.guard_finite_outputs("dp_step")
+    check({"a": jnp.ones(3), "b": (jnp.zeros(2), jnp.int32(1))})  # no raise
+    bad = {"a": jnp.ones(3), "b": (jnp.array([1.0, np.nan]), jnp.int32(1))}
+    try:
+        check(bad)
+        raised = False
+    except FloatingPointError as e:
+        raised = True
+        assert "'b'" in str(e)
+    assert raised
