@@ -59,7 +59,7 @@ def main(args):
         HierarchicalGSM,
         accumulate_unit_stats,
         apply_to_phoneloop,
-        make_gsm_train_step,
+        make_gsm_train_scan,
     )
     from beer_tpu.cli.subcommands.hmm_train import pad_archive
     from beer_tpu.utils import load_model, save_model
@@ -104,7 +104,7 @@ def main(args):
 
     tx = optax.adam(args.lrate)
     opt_state = tx.init(gsm)
-    gstep = make_gsm_train_step(tx)
+    grun = make_gsm_train_scan(tx)
     loop_step = jax.jit(lambda m, x, msk: vb_step(m, x, mask=msk))
     accumulate = jax.jit(
         lambda lp, x, msk: accumulate_unit_stats(
@@ -138,11 +138,12 @@ def main(args):
         stats = cat_stats(all_stats)
         counts = jnp.concatenate(all_counts)
 
-        # 3. subspace training
-        elbo = None
-        for _ in range(args.inner_iters):
-            key, sub = jax.random.split(key)
-            elbo, gsm, opt_state = gstep(gsm, opt_state, stats, counts, sub)
+        # 3. subspace training — the whole inner loop is ONE device
+        # dispatch (lax.scan over the gradient steps)
+        key, sub = jax.random.split(key)
+        elbo, gsm, opt_state = grun(
+            gsm, opt_state, stats, counts, sub, args.inner_iters
+        )
 
         # 4. moment-matched write-back per language
         key, sub = jax.random.split(key)

@@ -408,6 +408,39 @@ def make_gsm_train_step(tx, nsamples: int = 4):
     return jax.jit(step)
 
 
+def make_gsm_train_scan(tx, nsamples: int = 4):
+    """N gradient steps on the GSM ELBO compiled into ONE XLA program.
+
+    ``make_gsm_train_step`` pays a host round-trip per step — under the
+    axon tunnel ~28 ms each, which dominated recipe stage 7 (600 inner
+    iterations x 6 outer = ~5 min of pure dispatch latency).  Scanning
+    the whole inner loop on-device removes it: one dispatch per outer
+    iteration.  Returns ``run(gsm, opt_state, unit_stats, unit_counts,
+    key, nsteps)`` -> ``(last_elbo, gsm, opt_state)``; ``nsteps`` is
+    static (one compile per distinct value).
+    """
+    import optax
+
+    def run(gsm, opt_state, unit_stats, unit_counts, key, nsteps: int):
+        def step(carry, k):
+            g, opt = carry
+
+            def loss_fn(g):
+                return -g.elbo(unit_stats, unit_counts, k, nsamples)
+
+            loss, grads = jax.value_and_grad(loss_fn)(g)
+            updates, opt = tx.update(grads, opt, g)
+            g = optax.apply_updates(g, updates)
+            return (g, opt), -loss
+
+        keys = jax.random.split(key, nsteps)
+        (gsm, opt_state), elbos = jax.lax.scan(
+            step, (gsm, opt_state), keys)
+        return elbos[-1], gsm, opt_state
+
+    return jax.jit(run, static_argnames="nsteps")
+
+
 # ----------------------------------------------------------------------
 # Phone-loop bridge (SHMM training loop, SURVEY §3.5)
 # ----------------------------------------------------------------------

@@ -318,3 +318,31 @@ def test_expected_llh_array_form_requires_counts(rng):
         jnp.asarray(stats), jnp.asarray(counts), key=jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(ll))
+
+
+def test_gsm_train_scan_matches_stepwise(rng):
+    """The one-dispatch scanned inner loop equals per-step jitted calls
+    driven by the same key schedule (recipe stage 7 dispatch fix)."""
+    from beer_tpu.models.gsm import make_gsm_train_scan
+
+    stats, counts, _, _ = make_unit_stats(rng, n_units=6, d=4,
+                                          frames_per_unit=20)
+    stats, counts = jnp.asarray(stats), jnp.asarray(counts)
+    gsm0 = GSM.create(n_units=6, embed_dim=2, obs_dim=4,
+                      key=jax.random.PRNGKey(3))
+    tx = optax.adam(5e-2)
+    opt0 = tx.init(gsm0)
+    key = jax.random.PRNGKey(9)
+
+    elbo_s, gsm_s, _ = make_gsm_train_scan(tx)(
+        gsm0, opt0, stats, counts, key, 5)
+
+    step = make_gsm_train_step(tx)
+    gsm, opt = gsm0, opt0
+    for k in jax.random.split(key, 5):
+        elbo, gsm, opt = step(gsm, opt, stats, counts, k)
+
+    np.testing.assert_allclose(float(elbo_s), float(elbo), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(gsm_s), jax.tree.leaves(gsm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
