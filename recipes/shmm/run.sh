@@ -22,16 +22,26 @@
 # 41.0 NMI (boundary-F 50.8 -> 59.0); TPU v5e f32 (lane-major fused
 # kernels, round-3 defaults) — k-means 35.8, baseline 34.5, H-SHMM
 # 41.6 NMI (boundary-F 57.3 -> 57.9).  Subspace sharing with the
-# resourced languages recovers what 4 utterances cannot.  Scores print
-# from score.py; the recipe regenerates everything from scratch (exp/
-# is gitignored).
+# resourced languages recovers what 4 utterances cannot.
+#
+# Seed sensitivity (./sweep.sh 3, fresh corpus draw per seed, CPU f32,
+# round-4 scanned stage 7): H-SHMM 37.9 NMI mean (range 34.6-41.3) vs
+# baseline 32.8 (30.2-34.5) vs k-means 32.4 (29.2-35.8); BOTH BEATS
+# margins held for every seed — the transfer claim is not a lucky draw.
+#
+# Scores print from score.py; the recipe regenerates everything from
+# scratch (exp/ and exp_sweep/ are gitignored).
 #
 # Usage: ./run.sh [workdir]   (defaults to exp/)
+#   SEED=n ./run.sh workdir   regenerates the synthetic corpus with a
+#   different draw (allophone maps, durations, speaker factors, noise);
+#   ./sweep.sh runs seeds 0..2 and asserts the BEATS margin for each.
 
 set -euo pipefail
 cd "$(dirname "$0")"
 
 work=${1:-exp}
+seed=${SEED:-0}
 stage_mark() { echo "=== stage $1: $2"; }
 # run from a bare checkout: make beer_tpu importable without pip install
 export PYTHONPATH="$(cd ../.. && pwd)${PYTHONPATH:+:$PYTHONPATH}"
@@ -41,7 +51,7 @@ mkdir -p "$work"
 
 if [ ! -f "$work/wav_C.scp" ]; then
   stage_mark 0 "adversarial multilingual synthetic data (+ eval splits)"
-  python local/make_multilingual_data.py "$work"
+  python local/make_multilingual_data.py "$work" --seed "$seed"
 fi
 
 for set_name in A B C A_eval B_eval C_eval; do
