@@ -14,6 +14,13 @@
 # latest epochNNNN.mdl like `beer hmm train`.
 #
 # Usage: parallel_vbem.sh <init.mdl> <feats> <workdir> <njobs> <epochs> [lrate]
+#
+# Backends (BEER_PARALLEL env, default local):
+#   local — N background processes on this host (default)
+#   sge   — one qsub array job per epoch (`qsub -sync y -t 1-N`), the
+#           reference's cluster mechanism; SGE_OPTS passes queue/resource
+#           flags (e.g. SGE_OPTS="-q all.q -l mem_free=2G").  The shared
+#           filesystem carries shards exactly as in the local mode.
 
 set -euo pipefail
 
@@ -22,8 +29,48 @@ model=$1 feats=$2 work=$3 njobs=$4 epochs=$5 lrate=${6:-1.0}
 # must not race for the single exclusive TPU backend. Export BEER_DEVICE
 # explicitly to override (e.g. njobs=1 on a dedicated chip).
 BEER_DEVICE=${BEER_DEVICE:-cpu}
+BEER_PARALLEL=${BEER_PARALLEL:-local}
+SGE_OPTS=${SGE_OPTS:-}
 beer() { python -m beer_tpu.cli "$@" ${BEER_DEVICE:+--device "$BEER_DEVICE"}; }
 mkdir -p "$work"
+
+if [ "$BEER_PARALLEL" = sge ] && ! command -v qsub > /dev/null; then
+    echo "parallel_vbem.sh: BEER_PARALLEL=sge but qsub not found" >&2
+    exit 1
+fi
+
+run_shards() { # <epoch>: fan out njobs accumulate jobs, wait for all
+    local epoch=$1
+    if [ "$BEER_PARALLEL" = sge ]; then
+        local script="$work/accumulate.$epoch.sh"
+        {
+            echo '#!/usr/bin/env bash'
+            echo 'set -euo pipefail'
+            echo "cd $(pwd)"
+            echo "export BEER_DEVICE=$BEER_DEVICE"
+            printf 'python -m beer_tpu.cli hmm accumulate %q %q ' \
+                "$current" "$feats"
+            printf '%q/epoch%s.$SGE_TASK_ID.acc ' "$work" "$epoch"
+            printf -- '--shard "$SGE_TASK_ID/%s" --device "$BEER_DEVICE"\n' \
+                "$njobs"
+        } > "$script"
+        chmod +x "$script"
+        # -sync y blocks until every task exits; nonzero task exit fails
+        # the qsub call and (set -e) this epoch.
+        qsub -sync y -t "1-$njobs" -cwd -j y \
+            -o "$work/accumulate.$epoch.\$TASK_ID.log" \
+            $SGE_OPTS "$script"
+    else
+        local pids=() j
+        for j in $(seq 1 "$njobs"); do
+            beer hmm accumulate "$current" "$feats" \
+                "$work/epoch$epoch.$j.acc" --shard "$j/$njobs" \
+                > "$work/accumulate.$epoch.$j.log" 2>&1 &
+            pids+=($!)
+        done
+        for pid in "${pids[@]}"; do wait "$pid"; done
+    fi
+}
 
 # Convert .npz feature archives to .bar ONCE before forking the job
 # array so N accumulate jobs never race on first-use conversion (the
@@ -49,14 +96,7 @@ for epoch in $(seq $((start + 1)) "$epochs"); do
     # Drop leftovers from a crashed run (possibly with a different njobs)
     # so the reduce never sums stale shards into the update.
     rm -f "$work"/epoch"$epoch".*.acc
-    pids=()
-    for j in $(seq 1 "$njobs"); do
-        beer hmm accumulate "$current" "$feats" \
-            "$work/epoch$epoch.$j.acc" --shard "$j/$njobs" \
-            > "$work/accumulate.$epoch.$j.log" 2>&1 &
-        pids+=($!)
-    done
-    for pid in "${pids[@]}"; do wait "$pid"; done
+    run_shards "$epoch"
     next=$(printf '%s/epoch%04d.mdl' "$work" "$epoch")
     beer hmm update "$current" "$next" \
         "$work"/epoch"$epoch".*.acc --lrate "$lrate"

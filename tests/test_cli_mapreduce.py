@@ -156,3 +156,65 @@ def test_archive_write_is_atomic(tmp_path):
     arch.close()
     leftovers = [p for p in os.listdir(tmp_path) if ".tmp." in p]
     assert leftovers == []
+
+
+_FAKE_QSUB = """#!/usr/bin/env bash
+# Minimal SGE shim: understands the flags parallel_vbem.sh emits
+# (-sync y -t LO-HI -cwd -j y -o pattern [SGE_OPTS...] script) and runs
+# every array task sequentially in this process, propagating failures —
+# the -sync y contract.
+set -euo pipefail
+range="" script=""
+while [ $# -gt 0 ]; do
+  case $1 in
+    -t) range=$2; shift 2 ;;
+    -sync|-o|-j|-q|-l) shift 2 ;;
+    -cwd) shift ;;
+    *) script=$1; shift ;;
+  esac
+done
+lo=${range%-*}; hi=${range#*-}
+for i in $(seq "$lo" "$hi"); do
+  SGE_TASK_ID=$i bash "$script"
+done
+"""
+
+
+def test_parallel_vbem_sge_backend(workdir, tmp_path):
+    """BEER_PARALLEL=sge submits a qsub array per epoch and produces the
+    same model as the local backend (driven through a qsub shim)."""
+    import os
+    import subprocess
+    from pathlib import Path
+
+    import jax
+
+    from beer_tpu.utils import load_model
+
+    root = workdir
+    repo = Path(__file__).resolve().parents[1]
+    script = repo / "recipes" / "lib" / "parallel_vbem.sh"
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    (bindir / "qsub").write_text(_FAKE_QSUB)
+    (bindir / "qsub").chmod(0o755)
+
+    def run(mode, out):
+        env = os.environ.copy()
+        env["PATH"] = f"{bindir}{os.pathsep}" + env["PATH"]
+        env["BEER_PARALLEL"] = mode
+        env["BEER_DEVICE"] = "cpu"
+        env["PYTHONPATH"] = f"{repo}{os.pathsep}" + env.get("PYTHONPATH", "")
+        r = subprocess.run(
+            ["bash", str(script), str(root / "init.mdl"),
+             str(root / "feats.npz"), str(out), "2", "1"],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        return load_model(Path(out) / "final.mdl")
+
+    m_sge = run("sge", tmp_path / "sge")
+    m_loc = run("local", tmp_path / "local")
+    for a, b in zip(jax.tree.leaves(m_sge), jax.tree.leaves(m_loc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
