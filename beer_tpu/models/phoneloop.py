@@ -163,11 +163,27 @@ class PhoneLoop(DiscreteLatentModel):
         (S, S) matmul with five VPU passes."""
         p = self.states_per_unit
         s = self.n_states
-        ids = jnp.arange(s)
-        # with P == 1 the dense builder *overwrites* the diagonal with
-        # the loop-back block, so the self-loop band is empty
-        a_self = jnp.full(s, self.self_loop if p > 1 else 0.0, dtype)
-        a_adv = jnp.where(ids % p != p - 1, 1.0 - self.self_loop, 0.0).astype(dtype)
+        # Bands come from base_log_trans, NOT the scalar self_loop: the
+        # subspace write-back (gsm.apply_to_phoneloop with learned
+        # transitions) stores PER-STATE self/advance log-probs there,
+        # and the scalar would silently misroute every fused E-step and
+        # banded decode afterwards (round-4 bug: banded Viterbi scores
+        # 17 log-units off on a trained H-SHMM loop).
+        if p == 1:
+            # the dense builder *overwrites* every (end, start) entry —
+            # with P == 1 that is the whole matrix, bands are empty
+            a_self = jnp.zeros(s, dtype)
+            a_adv = jnp.zeros(s, dtype)
+        else:
+            a_self = jnp.exp(jnp.diagonal(self.base_log_trans)).astype(dtype)
+            ids = jnp.arange(s - 1)
+            sup = jnp.exp(self.base_log_trans[ids, ids + 1])
+            a_adv = jnp.concatenate(
+                [sup, jnp.zeros(1, self.base_log_trans.dtype)]
+            ).astype(dtype)
+            # (end, start) entries are overwritten by the loop block in
+            # the dense builder; mirror that here
+            a_adv = a_adv.at[self._ends].set(0.0)
         elogw = self.unit_prior.expected_log_weights().astype(dtype)
         if self.log_exit is not None:
             exit_u = jnp.exp(self.log_exit.astype(dtype))
@@ -496,12 +512,19 @@ class PhoneLoop(DiscreteLatentModel):
 
     # ------------------------------------------------------------------
     def decode(self, data: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
-        """Viterbi: returns (state paths (B, T), scores (B,))."""
+        """Viterbi: returns (state paths (B, T), scores (B,)).
+
+        Runs through the band + rank-1 factorization
+        (:func:`semiring_scan.viterbi_banded`): O(B·S) per step instead
+        of the dense path's (B, S, S) candidate tensor — the loop
+        topology guarantees the factorization is exact
+        (:meth:`_structured_trans`)."""
         graph = self._effective_graph()
         stats = self.sufficient_statistics(data)
         llh_states = self.modelset.expected_log_likelihood(stats)
-        return semiring_scan.viterbi(
-            llh_states, graph.log_trans, graph.log_init, graph.log_final, mask
+        bands = self._structured_trans(llh_states.dtype)
+        return semiring_scan.viterbi_banded(
+            llh_states, bands, graph.log_init, graph.log_final, mask
         )
 
     def decode_units(self, data: jnp.ndarray, mask: Optional[jnp.ndarray] = None):

@@ -1352,3 +1352,75 @@ def viterbi(
     _, path_rev = jax.lax.scan(back_step, best_last, bps, reverse=True)
     paths = jnp.concatenate([path_rev, best_last[None]], axis=0)  # (T, B)
     return jnp.swapaxes(paths, 0, 1), best_score
+
+
+def viterbi_banded(
+    llh: jnp.ndarray,
+    bands,
+    log_init: jnp.ndarray,
+    log_final: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best-path decoding through the band + rank-1 factorization.
+
+    ``bands = (a_self, a_adv, exit, w)`` probability-space vectors with
+    ``bands_to_dense(bands) == exp(log_trans)`` exactly and NO
+    overlapping contributions (the phone-loop guarantee,
+    ``PhoneLoop._structured_trans``).  Per step this is O(B*S) VPU work
+    — the dense :func:`viterbi` builds a (B, S, S) candidate tensor —
+    and the backtrace state is 1 int8 choice per (t, b, s) plus one
+    exit argmax per (t, b) instead of an int32 backpointer per state.
+
+    Returns ``(paths (B, T) int32, best log-prob (B,))``; identical to
+    the dense path (score ties aside, which are measure-zero for float
+    inputs).
+    """
+    a_self, a_adv, exit_scat, w_scat = bands
+    b, t_len, s = llh.shape
+    dt = llh.dtype
+    if mask is None:
+        mask = jnp.ones((b, t_len), dt)
+
+    def logv(v):
+        return jnp.where(v > 0, jnp.log(jnp.maximum(v, 1e-37)), _NEG_INF)
+
+    ls, la, le, lw = (logv(v.astype(dt)) for v in
+                      (a_self, a_adv, exit_scat, w_scat))
+    alpha0 = _clamp(log_init + llh[:, 0])
+    neg = jnp.full((b, 1), _NEG_INF, dt)
+
+    def fwd_step(alpha, inp):
+        llh_t, m_t = inp
+        c_self = alpha + ls
+        c_adv = jnp.concatenate([neg, (alpha + la)[:, :-1]], axis=1)
+        ex = alpha + le
+        ex_arg = jnp.argmax(ex, axis=-1).astype(jnp.int32)   # (B,)
+        c_loop = jnp.max(ex, axis=-1, keepdims=True) + lw
+        stacked = jnp.stack([c_self, c_adv, c_loop])         # (3, B, S)
+        choice = jnp.argmax(stacked, axis=0).astype(jnp.int8)
+        new = _clamp(llh_t + jnp.max(stacked, axis=0))
+        alpha_new = m_t * new + (1 - m_t) * alpha
+        choice = jnp.where(m_t > 0, choice, jnp.int8(0))     # pads: stay
+        ex_arg = jnp.where(m_t[:, 0] > 0, ex_arg, 0)
+        return alpha_new, (choice, ex_arg)
+
+    alpha_last, (choices, ex_args) = jax.lax.scan(
+        fwd_step,
+        alpha0,
+        (jnp.swapaxes(llh[:, 1:], 0, 1),
+         jnp.swapaxes(mask[:, 1:, None], 0, 1)),
+    )
+    best_last = jnp.argmax(alpha_last + log_final, axis=-1).astype(jnp.int32)
+    best_score = jnp.max(alpha_last + log_final, axis=-1)
+
+    def back_step(state, inp):
+        ch_t, exarg_t = inp
+        c = jnp.take_along_axis(ch_t, state[:, None], axis=1)[:, 0]
+        prev = jnp.where(
+            c == 0, state, jnp.where(c == 1, state - 1, exarg_t))
+        return prev, prev
+
+    _, path_rev = jax.lax.scan(
+        back_step, best_last, (choices, ex_args), reverse=True)
+    paths = jnp.concatenate([path_rev, best_last[None]], axis=0)
+    return jnp.swapaxes(paths, 0, 1), best_score

@@ -167,3 +167,70 @@ def test_structured_trans_densifies_to_graph():
         np.testing.assert_allclose(
             np.asarray(banded), np.asarray(dense), rtol=1e-6, atol=1e-7
         )
+
+
+def test_banded_viterbi_matches_dense(rng):
+    """PhoneLoop.decode's band + rank-1 (max,+) path == the dense
+    semiring_scan.viterbi on the same effective graph: identical paths
+    and scores (random data — ties measure-zero), P>1 and P==1, with a
+    ragged mask."""
+    from beer_tpu.ops import semiring_scan
+
+    for spu in (3, 1):
+        data, _, mask, _ = make_aud_data(rng, n_seq=6, t_len=50, d=2)
+        data = data.astype(np.float32)
+        mask = mask.astype(np.float32)
+        nset = beer_tpu.NormalSet.create(
+            jnp.zeros(2), jnp.eye(2), size=8 * spu, cov_type="diagonal",
+            noise_std=0.7, key=jax.random.PRNGKey(4))
+        loop = PhoneLoop.create(8, spu, nset)
+        # a couple of VB steps so transitions/weights are non-uniform
+        for _ in range(2):
+            _, loop = vb_step(loop, jnp.asarray(data),
+                              mask=jnp.asarray(mask))
+        x, m = jnp.asarray(data), jnp.asarray(mask)
+        paths_b, score_b = loop.decode(x, m)
+        graph = loop._effective_graph()
+        stats = loop.sufficient_statistics(x)
+        llh = loop.modelset.expected_log_likelihood(stats)
+        paths_d, score_d = semiring_scan.viterbi(
+            llh, graph.log_trans, graph.log_init, graph.log_final, m)
+        np.testing.assert_allclose(np.asarray(score_b),
+                                   np.asarray(score_d), rtol=1e-5)
+        valid = np.asarray(m) > 0
+        np.testing.assert_array_equal(
+            np.asarray(paths_b)[valid], np.asarray(paths_d)[valid])
+
+
+def test_structured_trans_after_transition_writeback(rng):
+    """Bands must track PER-STATE transitions written back by the
+    subspace (gsm.apply_to_phoneloop --learn-transitions), not the
+    scalar self_loop the loop was created with (round-4 bug: stale
+    scalar bands misrouted every fused E-step and banded decode on a
+    trained H-SHMM loop)."""
+    import beer_tpu
+    from beer_tpu.ops import semiring_scan
+
+    n_units, spu = 4, 3
+    s = n_units * spu
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(2), jnp.ones(2), size=s, cov_type="diagonal",
+        key=jax.random.PRNGKey(0))
+    loop = PhoneLoop.create(n_units, spu, nset, self_loop=0.6)
+    # simulate the write-back: per-state self/adv + per-unit exit
+    e_self = np.log(rng.uniform(0.3, 0.9, size=s)).astype(np.float32)
+    base = np.asarray(loop.base_log_trans).copy()
+    ids = np.arange(s)
+    nonfinal = ids % spu != spu - 1
+    base[ids, ids] = e_self
+    base[ids[nonfinal], ids[nonfinal] + 1] = np.log1p(
+        -np.exp(e_self[nonfinal]))
+    log_exit = np.log(rng.uniform(0.05, 0.3, size=n_units)).astype(
+        np.float32)
+    loop = loop.replace(base_log_trans=jnp.asarray(base),
+                        log_exit=jnp.asarray(log_exit))
+    dense = jnp.exp(loop._effective_graph().log_trans)
+    banded = semiring_scan.bands_to_dense(
+        loop._structured_trans(jnp.float32))
+    np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
+                               rtol=1e-6, atol=1e-7)
