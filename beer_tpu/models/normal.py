@@ -178,7 +178,13 @@ class NormalSet(ModelSet):
         e_stats = self.means_precisions.expected_sufficient_statistics()
         if self.fused:
             flat = stats.reshape(-1, self.dim)
-            llh = stats_kernels.fused_ellh_full(flat, e_stats, self.dim)
+            # runtime backend check: fused is a static field, so a
+            # TPU-created checkpoint restored on CPU still carries it —
+            # take the exact no-materialization XLA path there
+            if stats_kernels.on_tpu():
+                llh = stats_kernels.fused_ellh_full(flat, e_stats, self.dim)
+            else:
+                llh = stats_kernels.ellh_full_xla(flat, e_stats, self.dim)
             return llh.reshape(stats.shape[:-1] + (self.ncomp,))
         if self.cov_type == "diagonal":
             d = self.dim
@@ -240,9 +246,12 @@ class NormalSet(ModelSet):
     def accumulate(self, stats: jnp.ndarray, resps: jnp.ndarray) -> Dict[str, Any]:
         """resps (T, K) → natural-space statistics for the parameter."""
         if self.fused:
-            acc = stats_kernels.fused_accumulate_full(
-                stats.reshape(-1, self.dim), resps.reshape(-1, self.ncomp)
-            )
+            flat = stats.reshape(-1, self.dim)
+            flat_r = resps.reshape(-1, self.ncomp)
+            if stats_kernels.on_tpu():
+                acc = stats_kernels.fused_accumulate_full(flat, flat_r)
+            else:
+                acc = stats_kernels.accumulate_full_xla(flat, flat_r)
             return {"means_precisions": acc}
         if self.cov_type == "diagonal":
             acc2 = jnp.einsum(

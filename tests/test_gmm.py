@@ -229,3 +229,27 @@ def test_coordinate_ascent_monotone(rng):
         elbos.append(float(elbo) / len(data))
     diffs = np.diff(elbos)
     assert np.all(diffs > -1e-8), f"ELBO decreased: {elbos}"
+
+
+def test_fused_mixture_posteriors_and_cpu_fallback(rng):
+    """A Mixture whose NormalSet carries fused=True (e.g. a TPU-created
+    checkpoint restored on CPU) must still infer through the exact
+    route off-TPU, and posteriors() must work without a resps cache."""
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+
+    d, k, t = 4, 3, 40
+    x = jnp.asarray(rng.normal(size=(t, d)).astype(np.float32))
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(d), jnp.eye(d), size=k, cov_type="full",
+        noise_std=0.5, key=jax.random.PRNGKey(0))
+    gmm = beer_tpu.Mixture.create(nset.replace(fused=True))
+    assert not gmm._fused_gmm()  # CPU: runtime gate closes the kernel route
+    llh, cache = gmm.infer(gmm.sufficient_statistics(x))
+    assert "resps" in cache
+    post = gmm.posteriors(x)
+    np.testing.assert_allclose(np.asarray(post), np.asarray(cache["resps"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(post.sum(-1)), 1.0, rtol=1e-5)

@@ -62,3 +62,22 @@ def test_padding_correct(rng):
                                rtol=2e-4, atol=2e-4)
     llh = stats_kernels.fused_ellh_full(x, e_stats, dim=5, interpret=True)
     assert llh.shape == (stats_kernels.TILE_T + 17, 3)
+
+
+def test_fused_gmm_estep_matches_xla(rng):
+    """Single-kernel E-step (llh + acc + counts) vs the exact jnp path,
+    including a mask and a T that isn't a tile multiple."""
+    t = stats_kernels.GMM_TILE_T + 33
+    x, _, e_stats = make_inputs(rng, t=t)
+    log_w = jnp.log(jnp.asarray(rng.dirichlet(np.ones(3)), jnp.float32))
+    for mask in (None, jnp.asarray((rng.uniform(size=t) > 0.2), jnp.float32)):
+        llh, acc, counts = stats_kernels.fused_gmm_estep(
+            x, e_stats, log_w, dim=5, mask=mask, interpret=True)
+        llh0, acc0, counts0 = stats_kernels.gmm_estep_xla(
+            x, e_stats, log_w, dim=5, mask=mask)
+        np.testing.assert_allclose(np.asarray(llh), np.asarray(llh0),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(acc), np.asarray(acc0),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(counts), np.asarray(counts0),
+                                   rtol=2e-4, atol=2e-4)

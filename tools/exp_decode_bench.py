@@ -1,0 +1,92 @@
+"""Banded vs dense phone-loop Viterbi throughput at the bench shape.
+
+VERDICT r3 #5: PhoneLoop.decode ran the general (max,+) lax.scan at
+30.5M frames/s (3.3x slower than the training E-step).  Measures the
+band + rank-1 route against it on the real chip, with path parity.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import beer_tpu
+from beer_tpu.models.phoneloop import PhoneLoop
+from beer_tpu.ops import semiring_scan
+
+B, T, D = 512, 500, 39
+N_UNITS, SPU = 50, 3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--t", type=int, default=T)
+    t_len = ap.parse_args().t
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(B, t_len, D)).astype(np.float32)
+    lengths = rng.integers(t_len // 2, t_len + 1, size=B)
+    mask = (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32)
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.ones(D), size=N_UNITS * SPU, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(1))
+    loop = PhoneLoop.create(N_UNITS, SPU, nset)
+    from beer_tpu.vbi import vb_step
+    step = jax.jit(lambda mo, x, msk: vb_step(mo, x, mask=msk))
+    for _ in range(3):
+        _, loop = step(loop, x, m)
+
+    graph = loop._effective_graph()
+
+    def dense(x, m):
+        stats = loop.sufficient_statistics(x)
+        llh = loop.modelset.expected_log_likelihood(stats)
+        return semiring_scan.viterbi(
+            llh, graph.log_trans, graph.log_init, graph.log_final, m)
+
+    banded = loop.decode
+
+    frames = float(mask.sum())
+    pb, sb = jax.jit(banded)(x, m)
+    pd, sd = jax.jit(dense)(x, m)
+    valid = np.asarray(m) > 0
+    diff = int((np.asarray(pb)[valid] != np.asarray(pd)[valid]).sum())
+    print(f"paths differing: {diff}/{int(valid.sum())}  "
+          f"score max diff: {np.abs(np.asarray(sb)-np.asarray(sd)).max():.2e}",
+          flush=True)
+
+    def timeit(fn):
+        def harness(inner):
+            @jax.jit
+            def g(x, m):
+                def stepf(c, _):
+                    paths, scores = fn(x * (1.0 + c * 1e-30), m)
+                    return (scores.sum() + paths.sum()) * 1e-30, None
+                c, _ = jax.lax.scan(stepf, jnp.float32(0.0), None,
+                                    length=inner)
+                return c
+            return g
+        f1, f2 = harness(2), harness(6)
+        float(f1(x, m)); float(f2(x, m))
+
+        def t(f):
+            t0 = time.time()
+            for _ in range(3):
+                float(f(x, m))
+            return (time.time() - t0) / 3
+        return (t(f2) - t(f1)) / 4
+
+    for name, fn in (("banded", banded), ("dense", dense)):
+        dt = timeit(fn)
+        print(f"{name}: {dt*1e3:.3f} ms ({frames/dt/1e6:.1f}M frames/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
