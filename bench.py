@@ -510,6 +510,260 @@ def torch_svae(data, mask, n_utts=2):
     return total_frames / (time.time() - t0)
 
 
+STREAM_UTTS, STREAM_TMIN, STREAM_TMAX = 12_800, 250, 500
+STREAM_BATCH, STREAM_BUCKETS = 512, 4
+
+
+def _stream_archive(path):
+    """Synthetic corpus-scale archive (~5M frames, ~750 MB): written once,
+    then mmap-served by the native loader across bench runs."""
+    import os
+
+    from beer_tpu import io as bio
+
+    if os.path.exists(path):
+        return
+    print(f"# generating {path} ({STREAM_UTTS} utts)...", file=sys.stderr)
+    rng = np.random.default_rng(SEED)
+    utts = {}
+    for i in range(STREAM_UTTS):
+        t = int(rng.integers(STREAM_TMIN, STREAM_TMAX + 1))
+        utts[f"utt{i:06d}"] = rng.normal(size=(t, D)).astype(np.float32)
+    bio.write_archive(path, utts)
+
+
+def bench_streamed(archive_path="/tmp/beer_stream_bench.bar", epochs=3):
+    """Corpus-scale streamed phone-loop AUD (SURVEY.md §2.10 scale-out):
+    the config-4 model trained through io.BatchLoader (mmap'd .bar,
+    native fill, bucketed static shapes, background prefetch) on a ~5M
+    frame archive that never sits in device memory at once.
+
+    Reports streamed frames/s, the in-memory step rate at the same
+    shapes (resident-batch upper bound), loader-induced idle, and the
+    number of distinct compiled shapes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+    from beer_tpu import io as bio
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.vbi import vb_step
+
+    _stream_archive(archive_path)
+    archive = bio.Archive(archive_path)
+    n_utts = len(archive)
+
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(D), jnp.ones(D), size=S, cov_type="diagonal",
+        noise_std=0.5, key=jax.random.PRNGKey(1),
+    )
+    model = PhoneLoop.create(N_UNITS, STATES_PER_UNIT, nset)
+    step = jax.jit(lambda m, x, msk, ds: vb_step(m, x, datasize=ds,
+                                                 mask=msk))
+    loader = bio.BatchLoader(archive, STREAM_BATCH, seed=0,
+                             buckets=STREAM_BUCKETS)
+
+    stats = {}
+    for epoch in range(epochs):
+        t0 = time.time()
+        frames, step_t, n_batches = 0.0, 0.0, 0
+        for data, mask in loader:
+            n_valid = data.shape[0]
+            if n_valid < STREAM_BATCH:
+                pad = STREAM_BATCH - n_valid
+                data = np.concatenate(
+                    [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+                mask = np.concatenate(
+                    [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+            x, msk = jnp.asarray(data), jnp.asarray(mask)
+            ds = jnp.float32(n_utts * STREAM_BATCH / n_valid)
+            t1 = time.time()
+            elbo, model = step(model, x, msk, ds)
+            float(elbo)
+            step_t += time.time() - t1
+            frames += float(mask.sum())
+            n_batches += 1
+        wall = time.time() - t0
+        stats = {
+            "streamed_frames_per_s": frames / wall,
+            "device_frames_per_s": frames / step_t,
+            "loader_idle_pct": 100.0 * (wall - step_t) / wall,
+            "n_batches": n_batches,
+            "n_shapes": len(loader.bucket_t_max),
+            "epoch_s": wall,
+            "frames": frames,
+        }
+        print(f"# streamed epoch {epoch}: {frames/wall/1e6:.1f}M f/s "
+              f"(device {frames/step_t/1e6:.1f}M, idle "
+              f"{stats['loader_idle_pct']:.1f}%)", file=sys.stderr)
+    # resident-batch upper bound at the largest bucket shape: the same
+    # jitted step re-run on one in-memory batch (no host loop, no loader)
+    idx = list(loader.bucket_indices[-1][:STREAM_BATCH])
+    data, mask = archive.padded_batch(idx, loader.bucket_t_max[-1])
+    if data.shape[0] < STREAM_BATCH:
+        pad = STREAM_BATCH - data.shape[0]
+        data = np.concatenate(
+            [data, np.zeros((pad,) + data.shape[1:], data.dtype)])
+        mask = np.concatenate(
+            [mask, np.zeros((pad,) + mask.shape[1:], mask.dtype)])
+    x, msk = jnp.asarray(data), jnp.asarray(mask)
+    ds = jnp.float32(n_utts)
+    fr = float(mask.sum())
+    float(step(model, x, msk, ds)[0])
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        elbo, model = step(model, x, msk, ds)
+    float(elbo)
+    resident = fr * reps / (time.time() - t0)
+    stats["resident_frames_per_s"] = resident
+    stats["streamed_vs_resident_pct"] = round(
+        100.0 * stats["streamed_frames_per_s"] / resident, 1)
+    return stats
+
+
+GSM_UPL, GSM_NLANG, GSM_SPU, GSM_EMBED, GSM_LANGD = 50, 3, 3, 8, 2
+GSM_NSAMPLES = 4
+
+
+def _gsm_unit_stats(rng, u, p, d):
+    """Synthetic diagonal-layout per-unit-state stats (dict form of
+    gsm.accumulate_unit_stats with transitions)."""
+    c = rng.uniform(500.0, 2000.0, size=(u, p, 1)).astype(np.float32)
+    mu = rng.normal(size=(u, p, 1, d)).astype(np.float32)
+    var = rng.uniform(0.5, 2.0, size=(u, p, 1, d)).astype(np.float32)
+    cc = c[..., None]
+    sx = cc * mu
+    sxx = cc * (var + mu**2)
+    emission = np.concatenate(
+        [-0.5 * sxx, sx, np.broadcast_to(-0.5 * cc, sxx.shape),
+         np.broadcast_to(0.5 * cc, sxx.shape)], axis=-1)
+    return emission, c
+
+
+def bench_gsm(outer=4, inner=400):
+    """Config 6: the H-SHMM subspace gradient step (recipe stage 7's
+    dominant stage, SURVEY.md §3.5) — reparameterized ELBO grad + Adam
+    over a 3-language hierarchical subspace, one lax.scan dispatch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from beer_tpu.models.gsm import HierarchicalGSM, make_gsm_train_scan
+
+    u = GSM_UPL * GSM_NLANG
+    unit_lang = sum(([i] * GSM_UPL for i in range(GSM_NLANG)), [])
+    gsm = HierarchicalGSM.create(
+        u, GSM_EMBED, D, lang_dim=GSM_LANGD, n_langs=GSM_NLANG,
+        unit_lang=unit_lang, states_per_unit=GSM_SPU,
+        learn_transitions=True, key=jax.random.PRNGKey(3),
+    )
+    rng = np.random.default_rng(5)
+    emission, c = _gsm_unit_stats(rng, u, GSM_SPU, D)
+    stats = {
+        "emission": jnp.asarray(emission),
+        "comp_counts": jnp.asarray(c),
+        "self": jnp.asarray(0.9 * c[..., 0]),
+        "adv": jnp.asarray(0.1 * c[..., 0]),
+    }
+    tx = optax.adam(5e-2)
+    opt = tx.init(gsm)
+    run = make_gsm_train_scan(tx, nsamples=GSM_NSAMPLES)
+    key = jax.random.PRNGKey(11)
+    lo = max(inner // 4, 1)
+
+    def timed(n):
+        t0 = time.time()
+        e, g, o = run(gsm, opt, stats, None, key, n)
+        float(e)  # host fetch: forces the whole scan
+        return time.time() - t0
+
+    timed(inner), timed(lo)  # compile both
+    best = 0.0
+    for _ in range(outer):
+        dt = timed(inner) - timed(lo)
+        best = max(best, (inner - lo) / dt)
+    return best
+
+
+def torch_gsm(inner=100):
+    """The same H-SHMM subspace step in CPU torch: sample (e, lang, W),
+    affine map + softplus links, expected-stats ELBO, backward + Adam."""
+    import torch
+
+    u = GSM_UPL * GSM_NLANG
+    p, d, e_dim, l_dim = GSM_SPU, D, GSM_EMBED, GSM_LANGD
+    out = p * 2 * d + p  # emissions + transition logits (K=1)
+    torch.manual_seed(0)
+    e_mean = torch.zeros(u, e_dim, requires_grad=True)
+    e_logvar = torch.full((u, e_dim), -2.0, requires_grad=True)
+    l_mean = torch.zeros(GSM_NLANG, l_dim, requires_grad=True)
+    l_logvar = torch.full((GSM_NLANG, l_dim), -2.0, requires_grad=True)
+    w_mean = torch.randn(e_dim + l_dim + 1, out) * 0.1
+    w_mean.requires_grad_(True)
+    w_logvar = torch.full((e_dim + l_dim + 1, out), -2.0, requires_grad=True)
+    params = [e_mean, e_logvar, l_mean, l_logvar, w_mean, w_logvar]
+    opt = torch.optim.Adam(params, lr=5e-2)
+
+    rng = np.random.default_rng(5)
+    emission, c = _gsm_unit_stats(rng, u, p, d)
+    emission = torch.tensor(emission[:, :, 0])       # (U, P, 4D)
+    counts = torch.tensor(c)                         # (U, P, 1)
+    self_c = 0.9 * counts[..., 0]
+    adv_c = 0.1 * counts[..., 0]
+    unit_lang = torch.tensor(
+        sum(([i] * GSM_UPL for i in range(GSM_NLANG)), []))
+    s_sq, s_x = emission[..., :d], emission[..., d:2 * d]
+    ns = GSM_NSAMPLES
+
+    def step():
+        opt.zero_grad()
+        e = e_mean[None] + torch.exp(0.5 * e_logvar)[None] \
+            * torch.randn(ns, u, e_dim)
+        lang = l_mean[None] + torch.exp(0.5 * l_logvar)[None] \
+            * torch.randn(ns, GSM_NLANG, l_dim)
+        w = w_mean[None] + torch.exp(0.5 * w_logvar)[None] \
+            * torch.randn(ns, e_dim + l_dim + 1, out)
+        h = torch.cat([e, lang[:, unit_lang]], dim=-1)
+        ones = torch.ones(ns, u, 1)
+        raw = torch.cat([h, ones], dim=-1) @ w       # (S, U, out)
+        em = raw[..., : p * 2 * d].reshape(ns, u, p, 2 * d)
+        mu, lam = em[..., :d], torch.nn.functional.softplus(em[..., d:]) + 1e-4
+        ll = (
+            (s_sq[None] * lam).sum(-1) + (s_x[None] * lam * mu).sum(-1)
+            - counts[None, ..., 0] * (
+                0.5 * lam * mu**2 - 0.5 * torch.log(lam)
+                + 0.5 * float(np.log(2 * np.pi))
+            ).sum(-1)
+        )
+        t = raw[..., p * 2 * d:]
+        ll = ll + self_c[None] * torch.nn.functional.logsigmoid(t) \
+            + adv_c[None] * torch.nn.functional.logsigmoid(-t)
+        kl = sum(
+            0.5 * (torch.exp(lv) + m**2 - 1.0 - lv).sum()
+            for m, lv in ((e_mean, e_logvar), (l_mean, l_logvar),
+                          (w_mean, w_logvar))
+        )
+        loss = -(ll.sum() / ns - kl)
+        loss.backward()
+        opt.step()
+
+    step()  # warm-up
+    t0 = time.time()
+    for _ in range(inner):
+        step()
+    return inner / (time.time() - t0)
+
+
+def gsm_flops_per_step():
+    u = GSM_UPL * GSM_NLANG
+    out = GSM_SPU * 2 * D + GSM_SPU
+    fwd_mm = 2 * GSM_NSAMPLES * u * (GSM_EMBED + GSM_LANGD + 1) * out
+    ll = GSM_NSAMPLES * u * GSM_SPU * D * 10
+    return 3 * (fwd_mm + ll)  # fwd + bwd ~= 3x fwd
+
+
 # ----------------------------------------------------------------------
 # flops/frame estimates (for the MFU figure; multiply-add = 2 flops)
 # ----------------------------------------------------------------------
@@ -545,8 +799,12 @@ def entry(config, value, baseline):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="gmm,hmm,recognizer,svae,phone_loop",
+    ap.add_argument("--configs",
+                    default="gmm,hmm,recognizer,svae,gsm,phone_loop",
                     help="comma list of configs to run")
+    ap.add_argument("--streamed", action="store_true",
+                    help="corpus-scale streamed-training bench (own JSON "
+                    "line; skips the standard configs)")
     args = ap.parse_args()
     wanted = set(args.configs.split(","))
 
@@ -559,6 +817,21 @@ def main():
         print("bench: accelerator backend unreachable (tunnel down?)",
               file=sys.stderr)
         return 3
+
+    if args.streamed:
+        stats = bench_streamed()
+        print(json.dumps({
+            "metric": "streamed_phone_loop_vb_throughput",
+            "value": round(stats["streamed_frames_per_s"], 1),
+            "unit": "frames/s",
+            "vs_baseline": round(
+                stats["streamed_frames_per_s"]
+                / stats["resident_frames_per_s"], 3),
+            "baseline": "resident-batch-same-shapes",
+            "detail": {k: round(v, 2) if isinstance(v, float) else v
+                       for k, v in stats.items()},
+        }))
+        return 0
 
     data, mask = make_data()
     configs = {}
@@ -586,6 +859,20 @@ def main():
     run_config("recognizer", _recognizer)
     run_config("svae", lambda: entry("svae", bench_svae(data, mask)[0],
                                      torch_svae(data, mask)))
+
+    def _gsm():
+        v = bench_gsm()
+        base = torch_gsm()
+        return {
+            "value": round(v, 1),
+            "unit": "subspace_steps/s",
+            "vs_baseline": round(v / base, 2),
+            "mfu_pct_of_bf16_peak_est": round(
+                100.0 * v * gsm_flops_per_step() / PEAK_FLOPS, 4
+            ),
+        }
+
+    run_config("gsm", _gsm)
 
     for attempt in (1, 2):
         try:
@@ -615,7 +902,8 @@ def main():
         if "error" in c:
             continue
         print(
-            f"# {name}: {c['value']:,.0f} frames/s | {c['vs_baseline']}x "
+            f"# {name}: {c['value']:,.0f} {c.get('unit', 'frames/s')} | "
+            f"{c['vs_baseline']}x "
             f"torch-cpu | ~{c['mfu_pct_of_bf16_peak_est']}% bf16-peak MFU",
             file=sys.stderr,
         )
