@@ -218,14 +218,17 @@ def bench_gmm(data, outer=4, inner=10):
     x = jnp.asarray(flat)
 
     def make_epochs(n):
+        # distinct name from earlier rounds: the axon sidechannel compile
+        # cache has served stale binaries across kernel edits at
+        # unchanged (name, shape) keys (docs/PERFORMANCE.md round 4)
         @jax.jit
-        def train_epochs(model, x, _unused):
+        def train_epochs_gmm_r4(model, x, _unused):
             def body(model, _):
                 elbo, model = vb_step(model, x)
                 return model, elbo
             model, elbos = jax.lax.scan(body, model, None, length=n)
             return model, elbos[-1]
-        return train_epochs
+        return train_epochs_gmm_r4
 
     return _time_epochs(
         make_epochs, gmm, x, None, outer, float(flat.shape[0]), inner
