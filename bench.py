@@ -618,7 +618,7 @@ def bench_streamed(archive_path="/tmp/beer_stream_bench.bar", epochs=3):
     t0 = time.time()
     for _ in range(reps):
         elbo, model = step(model, x, msk, ds)
-    float(elbo)
+        float(elbo)  # same per-step sync semantics as the streamed loop
     resident = fr * reps / (time.time() - t0)
     stats["resident_frames_per_s"] = resident
     stats["streamed_vs_resident_pct"] = round(
