@@ -236,29 +236,35 @@ def bench_gmm(data, outer=4, inner=10):
 
 
 def torch_gmm(data, n_frames=32768):
-    """Reference GMM VB-EM epoch in CPU torch (vectorized, like beer)."""
+    """Reference GMM VB-EM epoch in CPU torch — the REAL loop, not a
+    stylized E-step: NormalWishart expectations (digamma, logdet),
+    ELLH, responsibilities, and the closed-form conjugate M-step, via
+    the same independent implementation the parity tests trust
+    (tests/torch_ref.TorchVBGMM), in f32 like the reference default."""
+    import os
+    import sys
+
     import torch
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from torch_ref import TorchVBGMM
 
     rng = np.random.default_rng(2)
     flat = torch.tensor(data.reshape(-1, D)[:n_frames])
     n = flat.shape[0]
-    # expected stats of K full-cov components: [vec(E[Λ])… ] — emulate the
-    # reference's (T, P) @ (P, K) ELLH with P = D² + D + 2
-    p = D * D + D + 2
-    e_stats = torch.tensor(
-        rng.normal(size=(GMM_K, p)).astype(np.float32) * 0.01
-    )
+    mean = flat.mean(0)
+    cov = torch.tensor(np.cov(flat.numpy().T).astype(np.float32))
+    dof0 = D + 1.0
+    w0 = torch.linalg.inv(cov) / dof0
+    post_means = mean + 0.5 * torch.tensor(
+        rng.normal(size=(GMM_K, D)).astype(np.float32))
+    ref = TorchVBGMM(mean, 1.0, w0, dof0, torch.ones(GMM_K), post_means,
+                     dtype=torch.float32)
+    _, resps = ref.estep(flat)
+    ref.mstep(flat, resps)  # warm epoch
     t0 = time.time()
-    xx = flat[:, :, None] * flat[:, None, :]
-    stats = torch.cat(
-        [xx.reshape(n, -1), flat, torch.ones(n, 2)], dim=1
-    )
-    llh = stats @ e_stats.T
-    log_w = torch.log_softmax(torch.zeros(GMM_K), dim=0)
-    joint = llh + log_w
-    norm = torch.logsumexp(joint, dim=1, keepdim=True)
-    resps = torch.exp(joint - norm)
-    _ = resps.T @ stats  # accumulate
+    _, resps = ref.estep(flat)
+    ref.mstep(flat, resps)
     dt = time.time() - t0
     return n / dt
 
