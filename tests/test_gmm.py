@@ -253,3 +253,52 @@ def test_fused_mixture_posteriors_and_cpu_fallback(rng):
     np.testing.assert_allclose(np.asarray(post), np.asarray(cache["resps"]),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(post.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_fused_route_trajectory_tracks_exact(rng):
+    """VB-EM through the fused single-kernel route (interpret mode) must
+    TRACK the exact route — pointwise ELBO drift small and monotone —
+    on clustered data with sharpening precisions.  This is the CPU-scale
+    version of the on-chip gate (tools/exp_gmm_traj_check.py) that
+    caught the retracted bf16-limb-packed kernels (round 4)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    import beer_tpu
+    from beer_tpu.models import mixture as mixture_mod
+    from beer_tpu.ops import stats_kernels
+    from beer_tpu.vbi import vb_step
+
+    d, k, t = 8, 8, 4000
+    centers = rng.normal(size=(4, d)) * 3.0
+    x = jnp.asarray((centers[rng.integers(0, 4, size=t)]
+                     + rng.normal(size=(t, d))).astype(np.float32))
+
+    orig_kernel = stats_kernels.fused_gmm_estep
+    orig_gate = mixture_mod.Mixture._fused_gmm
+    try:
+        stats_kernels.fused_gmm_estep = functools.partial(
+            orig_kernel, interpret=True)
+        trajs = {}
+        for fused in (True, False):
+            mixture_mod.Mixture._fused_gmm = (
+                (lambda self: True) if fused else orig_gate)
+            nset = beer_tpu.NormalSet.create(
+                jnp.zeros(d), jnp.eye(d), size=k, cov_type="full",
+                noise_std=0.5, key=jax.random.PRNGKey(2))
+            gmm = beer_tpu.Mixture.create(nset.replace(fused=fused))
+            elbos = []
+            for _ in range(10):
+                e, gmm = vb_step(gmm, x)
+                elbos.append(float(e) / t)
+            trajs[fused] = np.array(elbos)
+            # monotone after burn-in
+            drops = np.diff(elbos[2:])
+            assert drops.min() > -1e-3, elbos
+        drift = np.abs(trajs[True] - trajs[False]).max()
+        assert drift <= 1e-4, drift
+    finally:
+        stats_kernels.fused_gmm_estep = orig_kernel
+        mixture_mod.Mixture._fused_gmm = orig_gate
