@@ -405,10 +405,13 @@ def on_tpu() -> bool:
 
 
 def use_fused_full(dim: int, ncomp: int) -> bool:
-    """Heuristic: worth fusing when the (T, D²) materialization is big and
-    the per-tile VMEM footprint (xx tile + accumulators) fits; dim is
-    capped because the column-blocked outer product unrolls D concats."""
-    vmem_bytes = 4 * (TILE_T * dim * dim + ncomp * (dim * dim + dim))
+    """Heuristic: worth fusing when the (T, P) materialization the exact
+    path would stream is big and the per-tile VMEM footprint fits.  The
+    single-kernel E-step holds the ut-packed S tile (GMM_TILE_T, L) in
+    f32 plus the (L, K) weights and (K, L) accumulator, L = D(D+1)/2 +
+    D + 1 — roughly half the old full-(T, D²) estimate."""
+    lanes = dim * (dim + 1) // 2 + dim + 1
+    vmem_bytes = 4 * (GMM_TILE_T * lanes + 2 * ncomp * lanes)
     return (
         on_tpu() and 8 <= dim <= 64 and vmem_bytes < 8 * 1024 * 1024
     )
