@@ -2420,3 +2420,191 @@ def available() -> bool:
     toggling the flag at runtime).
     """
     return FORCE_INTERPRET or jax.default_backend() == "tpu"
+
+
+# ----------------------------------------------------------------------
+# Banded (max,+) Viterbi forward (decode path)
+# ----------------------------------------------------------------------
+def _shift_right_fill(x, fill):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane == 0, fill, pltpu.roll(x, 1, 1))
+
+
+def _make_viterbi_banded_kernel(k_steps: int):
+    """Log-space (max,+) step through the band + rank-1 factorization.
+
+    Per step, all VPU on (B, S): three candidate families (stay,
+    advance, loop-back through the best exit) — the backtrace state is
+    a 3-way choice code per (t, b, s) plus the exit argmax per (t, b),
+    both stored bf16 (values < 256, exact; int8 stores are the only
+    alternative and buy nothing at this size).  No normalization: log
+    scores drift ~llh·T ≈ -3e4, far inside f32.
+    """
+
+    def kernel(llh_ref, m_ref, ls_ref, la_ref, le_ref, lw_ref, init_ref,
+               choice_out, exarg_out, alpha_out, carry_a):
+        pid = pl.program_id(0)
+        neg = -1e30
+
+        @pl.when(pid == 0)
+        def _():
+            carry_a[:] = jnp.zeros_like(carry_a)  # overwritten at k == 0
+
+        a = carry_a[:]
+        ls = ls_ref[:].astype(jnp.float32)
+        la = la_ref[:].astype(jnp.float32)
+        le = le_ref[:].astype(jnp.float32)
+        lw = lw_ref[:].astype(jnp.float32)
+        lane = None
+        for k in range(k_steps):
+            llh_t = llh_ref[k].astype(jnp.float32)
+            c_self = a + ls
+            c_adv = _shift_right_fill(a + la, neg)
+            ex = a + le
+            exb = jnp.max(ex, axis=-1, keepdims=True)
+            if lane is None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, ex.shape, 1)
+            exi = jnp.min(
+                jnp.where(ex >= exb, lane, ex.shape[-1]),
+                axis=-1, keepdims=True)                    # (B, 1)
+            c_loop = exb + lw
+            best = jnp.maximum(c_self, jnp.maximum(c_adv, c_loop))
+            choice = jnp.where(
+                c_self >= best, 0, jnp.where(c_adv >= best, 1, 2))
+            new = jnp.maximum(llh_t + best, neg)
+            keep = m_ref[k].astype(jnp.float32)
+            if k == 0:
+                first = pid == 0
+                init_a = jnp.maximum(
+                    init_ref[:].astype(jnp.float32) + llh_t, neg)
+                new = jnp.where(first, init_a, new)
+                choice = jnp.where(first, 0, choice)
+                exi = jnp.where(first, 0, exi)
+                keep = jnp.where(first, 1.0, keep)
+            a = keep * new + (1.0 - keep) * a
+            choice = jnp.where(keep > 0, choice, 0)
+            exi = jnp.where(keep > 0, exi, 0)
+            choice_out[k] = choice.astype(jnp.bfloat16)
+            exarg_out[k] = exi.astype(jnp.bfloat16)
+        carry_a[:] = a
+
+        @pl.when(pid == pl.num_programs(0) - 1)
+        def _():
+            alpha_out[:] = a
+
+    return kernel
+
+
+def viterbi_fwd_banded(llh_log, log_bands, log_init, mask,
+                       interpret: bool = False):
+    """Kernel forward for banded Viterbi.
+
+    ``llh_log`` (B, T, S) log-likelihoods, ``log_bands`` = (ls, la, le,
+    lw) log-space band vectors, ``log_init`` (S,).  Returns ``(choices
+    (T, B, S) int8-valued bf16, ex_args (T, B) int32, alpha_last
+    (B, S))`` — the same backtrace inputs the XLA route computes
+    (choices[0] is the identity padding for t=0).
+    """
+    b, t_len, s = llh_log.shape
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    llh_tm = jnp.swapaxes(_pad_time(llh_log, t_pad, 0.0), 0, 1)
+    m_tm = jnp.swapaxes(_pad_time(mask, t_pad, 0.0), 0, 1)[..., None]
+    n_blocks = t_pad // k_steps
+    idx = lambda t: (t, 0, 0)
+    big = pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM)
+    band = pl.BlockSpec((1, s), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    init_spec = pl.BlockSpec((b, s), lambda t: (0, 0),
+                             memory_space=pltpu.VMEM)
+    choices, exargs, alpha = pl.pallas_call(
+        _make_viterbi_banded_kernel(k_steps),
+        grid=(n_blocks,),
+        in_specs=[big, small, band, band, band, band, init_spec],
+        out_specs=[big, small,
+                   pl.BlockSpec((b, s), lambda t: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((t_pad, b, s), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t_pad, b, 1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((b, s), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or FORCE_INTERPRET,
+    )(llh_tm, m_tm,
+      *[v.reshape(1, s) for v in log_bands],
+      jnp.broadcast_to(log_init, (b, s)))
+    return (choices[:t_len], exargs[:t_len, :, 0].astype(jnp.int32), alpha)
+
+
+def _make_viterbi_backtrace_kernel(k_steps: int, n_blocks: int):
+    """Reverse pass: one-hot state propagation instead of per-element
+    gathers.  Per step (B, S) VPU: read the choice under the one-hot,
+    then move it — stay (0), shift down one state (1), or jump to the
+    stored exit argmax (2)."""
+
+    def kernel(ch_ref, ex_ref, last_ref, path_out, carry_h):
+        pid = pl.program_id(0)
+
+        @pl.when(pid == 0)
+        def _():
+            carry_h[:] = last_ref[:].astype(jnp.float32)
+
+        h = carry_h[:]
+        lane = None
+        for k in range(k_steps - 1, -1, -1):
+            ch = ch_ref[k].astype(jnp.float32)         # (B, S) in {0,1,2}
+            if lane is None:
+                lane = jax.lax.broadcasted_iota(
+                    jnp.int32, ch.shape, 1).astype(jnp.float32)
+            state = (h * lane).sum(-1, keepdims=True)  # (B, 1)
+            path_out[k] = state.astype(path_out.dtype)
+            c = (h * ch).sum(-1, keepdims=True)        # choice at state
+            ex = ex_ref[k].astype(jnp.float32)         # (B, 1)
+            h_adv = pltpu.roll(h, h.shape[1] - 1, 1)   # state-1 <- state
+            h_ex = (lane == ex).astype(jnp.float32)
+            h = jnp.where(c == 0, h, jnp.where(c == 1, h_adv, h_ex))
+        carry_h[:] = h
+
+    return kernel
+
+
+def viterbi_backtrace_banded(choices, ex_args, last_onehot,
+                             interpret: bool = False):
+    """(T, B, S) bf16 choices + (T, B) exit argmaxes + (B, S) final
+    one-hot -> (B, T) int32 state path (kernel reverse scan)."""
+    t_len, b, s = choices.shape
+    k_steps = _steps_per_block(b, s)
+    t_pad = -(-t_len // k_steps) * k_steps
+    if t_pad != t_len:
+        # pad the FRONT so the reversed grid starts on a full block;
+        # padded steps use choice=stay and are dropped from the output
+        pad = t_pad - t_len
+        choices = jnp.concatenate(
+            [jnp.zeros((pad, b, s), choices.dtype), choices])
+        ex_args = jnp.concatenate(
+            [jnp.zeros((pad, b), ex_args.dtype), ex_args])
+    n_blocks = t_pad // k_steps
+    idx = lambda t: (n_blocks - 1 - t, 0, 0)
+    paths = pl.pallas_call(
+        _make_viterbi_backtrace_kernel(k_steps, n_blocks),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((k_steps, b, s), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_steps, b, 1), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, s), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_steps, b, 1), idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t_pad, b, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret or FORCE_INTERPRET,
+    )(choices, ex_args[..., None], last_onehot)
+    return jnp.swapaxes(paths[t_pad - t_len:, :, 0], 0, 1).astype(jnp.int32)

@@ -1386,30 +1386,46 @@ def viterbi_banded(
 
     ls, la, le, lw = (logv(v.astype(dt)) for v in
                       (a_self, a_adv, exit_scat, w_scat))
-    alpha0 = _clamp(log_init + llh[:, 0])
-    neg = jnp.full((b, 1), _NEG_INF, dt)
 
-    def fwd_step(alpha, inp):
-        llh_t, m_t = inp
-        c_self = alpha + ls
-        c_adv = jnp.concatenate([neg, (alpha + la)[:, :-1]], axis=1)
-        ex = alpha + le
-        ex_arg = jnp.argmax(ex, axis=-1).astype(jnp.int32)   # (B,)
-        c_loop = jnp.max(ex, axis=-1, keepdims=True) + lw
-        stacked = jnp.stack([c_self, c_adv, c_loop])         # (3, B, S)
-        choice = jnp.argmax(stacked, axis=0).astype(jnp.int8)
-        new = _clamp(llh_t + jnp.max(stacked, axis=0))
-        alpha_new = m_t * new + (1 - m_t) * alpha
-        choice = jnp.where(m_t > 0, choice, jnp.int8(0))     # pads: stay
-        ex_arg = jnp.where(m_t[:, 0] > 0, ex_arg, 0)
-        return alpha_new, (choice, ex_arg)
+    from beer_tpu.ops import pallas_scan
 
-    alpha_last, (choices, ex_args) = jax.lax.scan(
-        fwd_step,
-        alpha0,
-        (jnp.swapaxes(llh[:, 1:], 0, 1),
-         jnp.swapaxes(mask[:, 1:, None], 0, 1)),
-    )
+    if pallas_scan.available() and t_len > 1:
+        # kernel forward + kernel one-hot backtrace: the whole (max,+)
+        # chain and the reverse pointer chase run in VMEM — ~1000
+        # serial XLA dispatches collapse into time-blocked kernels
+        ch, ex_args, alpha_last = pallas_scan.viterbi_fwd_banded(
+            llh, (ls, la, le, lw), _clamp(log_init), mask)
+        final_sc = alpha_last + log_final
+        best_last = jnp.argmax(final_sc, axis=-1).astype(jnp.int32)
+        best_score = jnp.max(final_sc, axis=-1)
+        last_onehot = jax.nn.one_hot(best_last, s, dtype=jnp.float32)
+        paths = pallas_scan.viterbi_backtrace_banded(
+            ch, ex_args, last_onehot)
+        return paths, best_score
+    else:
+        neg = jnp.full((b, 1), _NEG_INF, dt)
+
+        def fwd_step(alpha, inp):
+            llh_t, m_t = inp
+            c_self = alpha + ls
+            c_adv = jnp.concatenate([neg, (alpha + la)[:, :-1]], axis=1)
+            ex = alpha + le
+            ex_arg = jnp.argmax(ex, axis=-1).astype(jnp.int32)   # (B,)
+            c_loop = jnp.max(ex, axis=-1, keepdims=True) + lw
+            stacked = jnp.stack([c_self, c_adv, c_loop])         # (3, B, S)
+            choice = jnp.argmax(stacked, axis=0).astype(jnp.int8)
+            new = _clamp(llh_t + jnp.max(stacked, axis=0))
+            alpha_new = m_t * new + (1 - m_t) * alpha
+            choice = jnp.where(m_t > 0, choice, jnp.int8(0))     # pads: stay
+            ex_arg = jnp.where(m_t[:, 0] > 0, ex_arg, 0)
+            return alpha_new, (choice, ex_arg)
+
+        alpha_last, (choices, ex_args) = jax.lax.scan(
+            fwd_step,
+            _clamp(log_init + llh[:, 0]),
+            (jnp.swapaxes(llh[:, 1:], 0, 1),
+             jnp.swapaxes(mask[:, 1:, None], 0, 1)),
+        )
     best_last = jnp.argmax(alpha_last + log_final, axis=-1).astype(jnp.int32)
     best_score = jnp.max(alpha_last + log_final, axis=-1)
 

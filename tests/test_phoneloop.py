@@ -234,3 +234,29 @@ def test_structured_trans_after_transition_writeback(rng):
         loop._structured_trans(jnp.float32))
     np.testing.assert_allclose(np.asarray(banded), np.asarray(dense),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_viterbi_fwd_kernel_matches_xla(rng, monkeypatch):
+    """The Pallas (max,+) forward (interpret mode) must give the same
+    paths and scores as the XLA banded route."""
+    from beer_tpu.ops import pallas_scan, semiring_scan
+
+    data, _, mask, _ = make_aud_data(rng, n_seq=5, t_len=40, d=2)
+    data = data.astype(np.float32)
+    mask = mask.astype(np.float32)
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(2), jnp.eye(2), size=6 * 3, cov_type="diagonal",
+        noise_std=0.7, key=jax.random.PRNGKey(4))
+    loop = PhoneLoop.create(6, 3, nset)
+    for _ in range(2):
+        _, loop = vb_step(loop, jnp.asarray(data), mask=jnp.asarray(mask))
+    x, m = jnp.asarray(data), jnp.asarray(mask)
+
+    paths_x, score_x = loop.decode(x, m)      # CPU: XLA route
+    monkeypatch.setattr(pallas_scan, "FORCE_INTERPRET", True)
+    paths_k, score_k = loop.decode(x, m)      # kernel route (interpret)
+    np.testing.assert_allclose(np.asarray(score_k), np.asarray(score_x),
+                               rtol=1e-5, atol=1e-4)
+    valid = np.asarray(m) > 0
+    np.testing.assert_array_equal(
+        np.asarray(paths_k)[valid], np.asarray(paths_x)[valid])
