@@ -37,6 +37,12 @@ class CompiledGraph:
     pdf_ids: jnp.ndarray     # (S,) int32
     n_states: int = struct.field(pytree_node=False, default=0)
     n_pdfs: int = struct.field(pytree_node=False, default=0)
+    # static structure hint: the (shared) transition matrix is pure
+    # left-to-right (diagonal + first superdiagonal only) — lets decode
+    # route through the O(B*S)-per-step banded Viterbi kernels.  Read
+    # with getattr(..., False): pickled skeletons from before the field
+    # existed lack it.
+    l2r_banded: bool = struct.field(pytree_node=False, default=False)
 
     def expand_llh(self, per_pdf_llh: jnp.ndarray) -> jnp.ndarray:
         """(..., n_pdfs) per-pdf log-likelihoods → (..., S) per-state.
@@ -303,4 +309,5 @@ def transcription_graphs(
         pdf_ids=jnp.asarray(pdf_ids),
         n_states=s_max,
         n_pdfs=n_phones * p,
+        l2r_banded=shared,
     )

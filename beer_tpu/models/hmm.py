@@ -495,9 +495,27 @@ class HMM(DiscreteLatentModel):
         """Viterbi best state path; returns (paths (B, T), scores (B,))."""
         stats = self.sufficient_statistics(data)
         llh_states = self._state_llh(stats)
+        log_trans = self._effective_log_trans()
+        if getattr(self.graph, "l2r_banded", False) and log_trans.ndim == 2:
+            # shared left-to-right graph (forced alignment): the matrix
+            # is diagonal + first superdiagonal — decode through the
+            # banded (max,+) route (O(B·S) per step / Pallas kernels on
+            # TPU) with an empty loop-back family.  Exact: learned
+            # transitions only reweight the existing arcs.
+            s = log_trans.shape[0]
+            ids = jnp.arange(s - 1)
+            a_self = jnp.exp(jnp.diagonal(log_trans))
+            a_adv = jnp.concatenate(
+                [jnp.exp(log_trans[ids, ids + 1]),
+                 jnp.zeros(1, log_trans.dtype)])
+            zeros = jnp.zeros(s, log_trans.dtype)
+            return semiring_scan.viterbi_banded(
+                llh_states, (a_self, a_adv, zeros, zeros),
+                self.graph.log_init, self.graph.log_final, mask,
+            )
         return semiring_scan.viterbi(
             llh_states,
-            self._effective_log_trans(),
+            log_trans,
             self.graph.log_init,
             self.graph.log_final,
             mask,
