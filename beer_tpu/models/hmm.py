@@ -496,12 +496,18 @@ class HMM(DiscreteLatentModel):
         stats = self.sufficient_statistics(data)
         llh_states = self._state_llh(stats)
         log_trans = self._effective_log_trans()
-        if getattr(self.graph, "l2r_banded", False) and log_trans.ndim == 2:
+        if (getattr(self.graph, "l2r_banded", False)
+                and log_trans.ndim == 2 and log_trans.shape[0] >= 64):
             # shared left-to-right graph (forced alignment): the matrix
             # is diagonal + first superdiagonal — decode through the
             # banded (max,+) route (O(B·S) per step / Pallas kernels on
             # TPU) with an empty loop-back family.  Exact: learned
-            # transitions only reweight the existing arcs.
+            # transitions only reweight the existing arcs.  Gated on
+            # S >= 64: measured on-chip at S=36 the dense (B, S, S)
+            # scan is FASTER (52.9M vs 46.4M frames/s — the kernels
+            # waste 1 - S/128 of every vreg at small S), while at
+            # S=150 the kernels win 8.4x (tools/exp_align_bench.py,
+            # exp_decode_bench.py).
             s = log_trans.shape[0]
             ids = jnp.arange(s - 1)
             a_self = jnp.exp(jnp.diagonal(log_trans))
