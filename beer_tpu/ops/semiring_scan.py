@@ -1389,10 +1389,12 @@ def viterbi_banded(
 
     from beer_tpu.ops import pallas_scan
 
-    if pallas_scan.available() and t_len > 1:
+    if pallas_scan.available() and t_len > 1 and s >= 64:
         # kernel forward + kernel one-hot backtrace: the whole (max,+)
         # chain and the reverse pointer chase run in VMEM — ~1000
-        # serial XLA dispatches collapse into time-blocked kernels
+        # serial XLA dispatches collapse into time-blocked kernels.
+        # (s >= 64: below that the kernels waste most of every vreg —
+        # measured slower than dense at S=36, tools/exp_align_bench.py)
         ch, ex_args, alpha_last = pallas_scan.viterbi_fwd_banded(
             llh, (ls, la, le, lw), _clamp(log_init), mask)
         final_sc = alpha_last + log_final

@@ -244,10 +244,12 @@ def test_viterbi_fwd_kernel_matches_xla(rng, monkeypatch):
     data, _, mask, _ = make_aud_data(rng, n_seq=5, t_len=40, d=2)
     data = data.astype(np.float32)
     mask = mask.astype(np.float32)
+    # >= 64 states: below that viterbi_banded skips the kernel branch
+    # (measured slower than dense at small S)
     nset = beer_tpu.NormalSet.create(
-        jnp.zeros(2), jnp.eye(2), size=6 * 3, cov_type="diagonal",
+        jnp.zeros(2), jnp.eye(2), size=22 * 3, cov_type="diagonal",
         noise_std=0.7, key=jax.random.PRNGKey(4))
-    loop = PhoneLoop.create(6, 3, nset)
+    loop = PhoneLoop.create(22, 3, nset)
     for _ in range(2):
         _, loop = vb_step(loop, jnp.asarray(data), mask=jnp.asarray(mask))
     x, m = jnp.asarray(data), jnp.asarray(mask)
