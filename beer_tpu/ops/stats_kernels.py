@@ -214,7 +214,7 @@ def accumulate_full_xla(x, resps):
 # * Per-frame log-marginals are the only per-frame HBM write; the
 #   responsibilities never leave VMEM.
 # ----------------------------------------------------------------------
-GMM_TILE_T = 512
+GMM_TILE_T = 512  # 1024 OOMs the 16MB scoped-vmem limit (measured: 16.7M)
 
 
 def _ut_pairs(d: int):
