@@ -169,7 +169,11 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
     logger = MetricsLogger(outdir / "log", stdout=False)
     for epoch in range(start_epoch + 1, args.epochs + 1):
         t0 = _time.time()
-        total_elbo, total_frames, n_batches = 0.0, 0.0, 0
+        total_frames, n_batches = 0.0, 0
+        batch_elbos = []  # device scalars: forcing per batch would
+        # serialize H2D upload against compute; keeping them lazy lets
+        # jax's async dispatch overlap the next batch's transfer with
+        # the current step (matters most on remote/tunneled devices)
         epoch_acc = None
         for data, mask in loader:
             n_valid = data.shape[0]
@@ -192,9 +196,10 @@ def _train_minibatch(args, model, outdir, start_epoch=0):
                 # carry 0 stats)
                 ds = jnp.float32(n_utts * args.batch_size / n_valid)
                 elbo, model = step(model, x, msk, ds)
-            total_elbo += float(elbo)
+            batch_elbos.append(elbo)
             total_frames += float(mask.sum())
             n_batches += 1
+        total_elbo = float(sum(float(e) for e in batch_elbos))
         if args.accumulate_batches:
             kl = float(model.kl_div_posterior_prior())
             model = model.vb_update(epoch_acc, args.lrate)
