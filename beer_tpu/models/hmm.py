@@ -185,14 +185,26 @@ class HMM(DiscreteLatentModel):
             jnp.exp(jnp.maximum(self.graph.log_final, LOG_ZERO))[:, None],
             (s, b),
         ).astype(dt)
-        log_z, ckpts = semiring_scan.hmm_logz_stats_lm(
-            stats_lm, w_lm, bias_lm, trans, init_lm, final_lm, mask
-        )
+        from beer_tpu.ops import pallas_scan
+
+        alphas = norms = ckpts = None
+        if pallas_scan.use_store_alpha(t_pad, s, b):
+            # stored-α̂ route: the accumulate kernel skips its serial
+            # forward recompute (pallas_scan STORE_ALPHA)
+            log_z, alphas, norms = semiring_scan.hmm_logz_stats_alpha_lm(
+                stats_lm, w_lm, bias_lm, trans, init_lm, final_lm, mask
+            )
+        else:
+            log_z, ckpts = semiring_scan.hmm_logz_stats_lm(
+                stats_lm, w_lm, bias_lm, trans, init_lm, final_lm, mask
+            )
         return log_z, {
             "stats_lm": stats_lm,
             "w_lm": w_lm,
             "bias_lm": bias_lm,
             "ckpts": ckpts,
+            "alphas": alphas,
+            "norms": norms,
             "mask": mask,
             "final_lm": final_lm,
             "log_trans": log_trans,
@@ -309,11 +321,23 @@ class HMM(DiscreteLatentModel):
         if "w_lm" in cache:
             # stats-streaming path: γ never materialized — fold the
             # shared 1-D pdf map into the kernel's (S, P) moments
-            acc2, counts, _g0, xi_raw = semiring_scan.hmm_estep_ckpt_acc_lm(
-                sg(cache["stats_lm"]), sg(cache["ckpts"]),
-                sg(jnp.exp(cache["log_trans"])), sg(cache["final_lm"]),
-                sg(cache["mask"]), sg(cache["w_lm"]), sg(cache["bias_lm"]),
-            )
+            if cache.get("alphas") is not None:
+                acc2, counts, _g0, xi_raw = \
+                    semiring_scan.hmm_estep_ckpt_acc_alpha_lm(
+                        sg(cache["stats_lm"]),
+                        sg(jnp.exp(cache["log_trans"])),
+                        sg(cache["final_lm"]), sg(cache["mask"]),
+                        sg(cache["w_lm"]), sg(cache["bias_lm"]),
+                        sg(cache["alphas"]), sg(cache["norms"]),
+                    )
+            else:
+                acc2, counts, _g0, xi_raw = \
+                    semiring_scan.hmm_estep_ckpt_acc_lm(
+                        sg(cache["stats_lm"]), sg(cache["ckpts"]),
+                        sg(jnp.exp(cache["log_trans"])),
+                        sg(cache["final_lm"]), sg(cache["mask"]),
+                        sg(cache["w_lm"]), sg(cache["bias_lm"]),
+                    )
             dt = cache["stats_lm"].dtype
             n_pdfs = self.graph.n_pdfs
             s = acc2.shape[0]
@@ -463,7 +487,16 @@ class HMM(DiscreteLatentModel):
         """E[#transitions i→j] summed over the batch, (S, S)."""
         if "ckpts" in cache:  # fused cache: run the full-ξ epilogue kernel
             sg = jax.lax.stop_gradient
-            if "w_lm" in cache:
+            if cache.get("alphas") is not None:
+                _, _, _, xi_raw = \
+                    semiring_scan.hmm_estep_ckpt_acc_alpha_lm(
+                        sg(cache["stats_lm"]),
+                        sg(jnp.exp(cache["log_trans"])),
+                        sg(cache["final_lm"]), sg(cache["mask"]),
+                        sg(cache["w_lm"]), sg(cache["bias_lm"]),
+                        sg(cache["alphas"]), sg(cache["norms"]),
+                    )
+            elif "w_lm" in cache:
                 _, _, _, xi_raw = semiring_scan.hmm_estep_ckpt_acc_lm(
                     sg(cache["stats_lm"]), sg(cache["ckpts"]),
                     sg(jnp.exp(cache["log_trans"])),

@@ -247,6 +247,7 @@ class PhoneLoop(DiscreteLatentModel):
         from beer_tpu.ops import pallas_scan
 
         fuse_ellh = pallas_scan.FUSE_ELLH and pallas_scan.FUSE_ACC
+        alphas = norms = ckpts = None
         if fuse_ellh:
             # stream stats only: llh = W@stats + bias computed in VMEM
             # by both kernels (never exists in HBM); gradients through
@@ -258,9 +259,18 @@ class PhoneLoop(DiscreteLatentModel):
             llh_lm = None
             w_lm = w_mat.T.astype(dt)                  # (S, P)
             bias = bias.astype(dt)
-            log_z, ckpts = semiring_scan.phone_loop_logz_stats_lm(
-                stats_lm, bands, w_lm, bias, trans, init_lm, final_lm,
-                mask)
+            if pallas_scan.use_store_alpha(stats_lm.shape[0], s, b):
+                # store the forward α̂ trajectory so the accumulate
+                # kernel skips its serial forward recompute
+                # (pallas_scan STORE_ALPHA; outputs bit-identical)
+                log_z, alphas, norms = \
+                    semiring_scan.phone_loop_logz_stats_alpha_lm(
+                        stats_lm, bands, w_lm, bias, trans, init_lm,
+                        final_lm, mask)
+            else:
+                log_z, ckpts = semiring_scan.phone_loop_logz_stats_lm(
+                    stats_lm, bands, w_lm, bias, trans, init_lm,
+                    final_lm, mask)
         else:
             w_lm = None
             llh_lm = jnp.einsum(
@@ -280,6 +290,8 @@ class PhoneLoop(DiscreteLatentModel):
             "bias_lm": bias if fuse_ellh else None,
             "bands": bands,
             "ckpts": ckpts,
+            "alphas": alphas,
+            "norms": norms,
             "stats_lm": stats_lm,
             "mask": mask,
             "graph": graph,
@@ -306,16 +318,28 @@ class PhoneLoop(DiscreteLatentModel):
 
         if pallas_scan.FUSE_ACC:
             fuse_ellh = cache.get("w_lm") is not None
-            acc2, counts, gamma0, xi_raw = \
-                semiring_scan.phone_loop_estep_ckpt_acc_lm(
-                    None if fuse_ellh else sg(cache["llh_lm"]),
-                    sg(cache["bands"]),
-                    sg(cache["ckpts"]), sg(cache["final_lm"]),
-                    sg(cache["mask"]), sel_r_t, sel_c_t,
-                    sg(cache["stats_lm"]),
-                    w=sg(cache["w_lm"]) if fuse_ellh else None,
-                    bias=sg(cache["bias_lm"]) if fuse_ellh else None,
-                )
+            if cache.get("alphas") is not None:
+                # stored-α̂ route: the forward trajectory streams in,
+                # the kernel's serial loop is backward-only
+                acc2, counts, gamma0, xi_raw = \
+                    semiring_scan.phone_loop_estep_ckpt_acc_alpha_lm(
+                        sg(cache["bands"]), sg(cache["final_lm"]),
+                        sg(cache["mask"]), sel_r_t, sel_c_t,
+                        sg(cache["stats_lm"]), sg(cache["w_lm"]),
+                        sg(cache["bias_lm"]), sg(cache["alphas"]),
+                        sg(cache["norms"]),
+                    )
+            else:
+                acc2, counts, gamma0, xi_raw = \
+                    semiring_scan.phone_loop_estep_ckpt_acc_lm(
+                        None if fuse_ellh else sg(cache["llh_lm"]),
+                        sg(cache["bands"]),
+                        sg(cache["ckpts"]), sg(cache["final_lm"]),
+                        sg(cache["mask"]), sel_r_t, sel_c_t,
+                        sg(cache["stats_lm"]),
+                        w=sg(cache["w_lm"]) if fuse_ellh else None,
+                        bias=sg(cache["bias_lm"]) if fuse_ellh else None,
+                    )
             start_term = gamma0[self._starts, :].sum(-1)
         else:
             gamma_lm, xi_raw = semiring_scan.phone_loop_estep_ckpt_lm(

@@ -105,6 +105,40 @@ FUSE_ACC = os.environ.get("BEER_FUSE_ACC", "1") != "0"
 # tools/exp_fuse_ellh_lm.py.
 FUSE_ELLH = os.environ.get("BEER_FUSE_ELLH", "1") != "0"
 
+# Store the forward α̂ trajectory (T, S, B) + per-step normalizers
+# (T, 1, B) in HBM and drop the smoothing kernel's serial forward
+# RECOMPUTE: the fused E-step's per-step loop then carries only the
+# backward chain (the forward re-run from block checkpoints was ~45%
+# of its serial vreg issues).  Stored values are BIT-IDENTICAL to the
+# recompute (same arithmetic from the same checkpoints), so γ/ξ/acc
+# outputs are unchanged (tests/test_pallas_scan.py; ELBO bit-match
+# confirmed on the v5e).
+#
+# MEASURED A WASH on the v5e (tools/exp_store_alpha.py, bench shape
+# B=512 S=150 T=483: 1.709 → 1.719 ms/epoch, 0.994×): the removed
+# serial recompute is repaid exactly by the α̂ round-trip's ~310 MB of
+# extra HBM traffic (~0.8-1.2 ms at the pallas-pipeline's measured
+# 250-400 GB/s, only partly hidden behind compute) — the same
+# trade, inverted, that made round 3's switch TO checkpointing
+# wall-clock-neutral.  The fwd+bwd interleave in the recompute kernel
+# also dual-issues well, so the removed chain was cheaper than its
+# vreg count suggests.  Default OFF; kept env-activatable for
+# HBM-richer parts where the trade could flip.  "auto" = on while the
+# α̂ array stays under BEER_ALPHA_MAX_MB (default 768 MB).
+STORE_ALPHA = os.environ.get("BEER_STORE_ALPHA", "0")
+_ALPHA_MAX_BYTES = int(
+    float(os.environ.get("BEER_ALPHA_MAX_MB", "768")) * 1024 * 1024
+)
+
+
+def use_store_alpha(t: int, s: int, b: int) -> bool:
+    """Trace-time gate for the stored-α̂ fused E-step (static shapes)."""
+    if STORE_ALPHA in ("1", "true", True):
+        return True
+    if STORE_ALPHA == "auto":
+        return t * s * b * 4 <= _ALPHA_MAX_BYTES
+    return False
+
 
 def use_lane_major(b: int, s: int) -> bool:
     """Trace-time orientation choice for the fused E-step kernels.
@@ -1571,7 +1605,8 @@ def _llh_block_lm(x_ref, w_ref, bias_ref):
 
 
 def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
-                                 fuse_ellh: bool = False):
+                                 fuse_ellh: bool = False,
+                                 store_alpha: bool = False):
     """Lane-major mirror of :func:`_make_fwd_llh_ckpt_kernel`:
     identical per-row arithmetic on (S, B) tiles.  ``banded=False``
     takes the TRANSPOSED dense (S, S) matrix (α column-vector
@@ -1592,13 +1627,17 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
     def kernel(*refs):
         if fuse_ellh:
             (llh_ref, len_ref, w_ref, bias_ref, band_ref, init_ref,
-             ckpt_out, last_out, logz_out, carry_p, carry_z,
-             carry_last) = refs
+             *outs) = refs
         else:
-            (llh_ref, len_ref, band_ref, init_ref,
-             ckpt_out, last_out, logz_out, carry_p, carry_z,
-             carry_last) = refs
+            (llh_ref, len_ref, band_ref, init_ref, *outs) = refs
             w_ref = bias_ref = None
+        if store_alpha:
+            (alpha_out, norm_out, last_out, logz_out, carry_p, carry_z,
+             carry_last) = outs
+            ckpt_out = None
+        else:
+            (ckpt_out, last_out, logz_out, carry_p, carry_z,
+             carry_last) = outs
         pid = pl.program_id(0)
         tiny = jnp.finfo(jnp.float32).tiny
 
@@ -1609,7 +1648,8 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
             carry_last[:] = jnp.zeros_like(carry_last)
 
         p = carry_p[:]
-        ckpt_out[0] = p.astype(ckpt_out.dtype)
+        if not store_alpha:
+            ckpt_out[0] = p.astype(ckpt_out.dtype)
         if banded:
             propagate, _ = _band_propagators_lm(band_ref)
         else:
@@ -1627,6 +1667,7 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
         # the chain by the is_last accumulation (see the batch-major
         # kernel's note)
         last_blk = 0.0
+        a_steps = []
         for k in range(k_steps):
             propagated = propagate(p)
             if k == 0:
@@ -1641,7 +1682,12 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
                 keep = jnp.where(pid == 0, 1.0, keep)
             last_blk = last_blk + is_last_all[k] * p
             norms.append(keep * norm + (1.0 - keep))
+            if store_alpha:
+                a_steps.append(p)
         carry_p[:] = p
+        if store_alpha:
+            alpha_out[:] = jnp.stack(a_steps).astype(alpha_out.dtype)
+            norm_out[:] = jnp.stack(norms).astype(norm_out.dtype)
         last_acc = carry_last[:] + last_blk
         carry_last[:] = last_acc
         logn = jnp.log(jnp.stack(norms)).sum(0)
@@ -1658,7 +1704,8 @@ def _make_fwd_llh_ckpt_kernel_lm(k_steps, banded: bool = True,
 
 def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
                              interpret: bool = False, trans=None,
-                             batch_chunks=None, w=None, bias=None):
+                             batch_chunks=None, w=None, bias=None,
+                             store_alpha: bool = False):
     """Lane-major scaled forward with block-entry checkpoints.
 
     Inputs: llh_lm (T, S, B) time-major LANE-MAJOR log-likelihoods;
@@ -1674,6 +1721,13 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
     With ``w (S, P)`` / ``bias (S,)``, ``llh_lm`` is instead the
     reduced sufficient-stats stream (T, P, B) and llh is computed in
     VMEM (fused-ELLH; llh never exists in HBM).
+
+    With ``store_alpha`` the kernel emits the FULL α̂ trajectory and
+    per-step normalizers instead of block checkpoints — returns
+    (alphas (t_pad, S, B), norms (t_pad, 1, B), last, logz_base) for
+    :func:`phone_loop_estep_ckpt_acc_lm`'s recompute-free mode (see
+    the STORE_ALPHA flag).  Values are bit-identical to the ckpt
+    route's recompute.
     """
     del batch_chunks
     banded = bands is not None
@@ -1710,17 +1764,33 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
         args += [w.astype(jnp.float32),
                  bias.astype(jnp.float32)[:, None]]
     in_specs += [const2(band_arr.shape), const2((s, b))]
-    ckpts, last, logz = pl.pallas_call(
-        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded,
-                                     fuse_ellh=fuse),
-        grid=(n_blocks,),
-        in_specs=in_specs,
-        out_specs=[big_one, fixed_one, fixed_small],
-        out_shape=[
+    if store_alpha:
+        out_specs = [
+            pl.BlockSpec((k_steps, s, b), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_steps, 1, b), idx, memory_space=pltpu.VMEM),
+            fixed_one, fixed_small,
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((t_pad, s, b), llh_lm.dtype),
+            jax.ShapeDtypeStruct((t_pad, 1, b), llh_lm.dtype),
+            jax.ShapeDtypeStruct((1, s, b), llh_lm.dtype),
+            jax.ShapeDtypeStruct((1, 1, b), llh_lm.dtype),
+        ]
+    else:
+        out_specs = [big_one, fixed_one, fixed_small]
+        out_shape = [
             jax.ShapeDtypeStruct((n_blocks, s, b), llh_lm.dtype),
             jax.ShapeDtypeStruct((1, s, b), llh_lm.dtype),
             jax.ShapeDtypeStruct((1, 1, b), llh_lm.dtype),
-        ],
+        ]
+    outs = pl.pallas_call(
+        _make_fwd_llh_ckpt_kernel_lm(k_steps, banded=banded,
+                                     fuse_ellh=fuse,
+                                     store_alpha=store_alpha),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((s, b), jnp.float32),
             pltpu.VMEM((1, b), jnp.float32),
@@ -1731,6 +1801,10 @@ def forward_llh_ckpt_pass_lm(llh_lm, bands, init_vec, mask,
         ),
         interpret=interpret or FORCE_INTERPRET,
     )(*args, band_arr, init_vec)
+    if store_alpha:
+        alphas, norms, last, logz = outs
+        return (alphas, norms, last[0], logz[0, 0])
+    ckpts, last, logz = outs
     return (ckpts, last[0], logz[0, 0])
 
 
@@ -1976,7 +2050,8 @@ def phone_loop_estep_ckpt_pass_lm(llh_lm, ckpts, bands, final_vec, mask,
 def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
                                    banded: bool = True,
                                    full_xi: bool = False,
-                                   fuse_ellh: bool = False):
+                                   fuse_ellh: bool = False,
+                                   stored_alpha: bool = False):
     """Accumulating variant of :func:`_make_estep_ckpt_kernel_lm`: the
     (T, S, B) γ array is never written to HBM.  Its only consumers in
     the conjugate M-step are three reductions, all computed in-kernel:
@@ -1994,18 +2069,38 @@ def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
     batch-major fuse_acc measured as a LOSS (tools/exp_acc_variants.py)
     because its in-kernel accumulation serialized against a chain 2.7×
     slower than lane-major's — re-gated for this orientation by
-    tools/exp_fuse_acc_lm.py."""
+    tools/exp_fuse_acc_lm.py.
+
+    With ``stored_alpha`` the block's α̂ steps and normalizers stream in
+    from the forward kernel's stored trajectory (STORE_ALPHA) and the
+    serial loop carries ONLY the backward chain — the forward recompute
+    (~45% of the per-step vreg issues) is gone; γ/ξ/acc outputs are
+    bit-identical (same values, read instead of recomputed)."""
 
     def kernel(*refs):
         if fuse_ellh:
             # stats stream ONLY: llh is computed in VMEM from (w, bias)
             # and the γᵀ@stats dot reuses the same stats block
-            (stats_ref, len_ref, ckpt_ref, w_ref, bias_ref) = refs[:5]
-            rest = refs[5:]
+            if stored_alpha:
+                (stats_ref, len_ref, alpha_ref, normin_ref, w_ref,
+                 bias_ref) = refs[:6]
+                rest = refs[6:]
+                ckpt_ref = None
+            else:
+                (stats_ref, len_ref, ckpt_ref, w_ref, bias_ref) = refs[:5]
+                rest = refs[5:]
+                alpha_ref = normin_ref = None
             llh_ref = stats_ref
         else:
-            (llh_ref, len_ref, ckpt_ref, stats_ref) = refs[:4]
-            rest = refs[4:]
+            if stored_alpha:
+                (llh_ref, len_ref, alpha_ref, normin_ref,
+                 stats_ref) = refs[:5]
+                rest = refs[5:]
+                ckpt_ref = None
+            else:
+                (llh_ref, len_ref, ckpt_ref, stats_ref) = refs[:4]
+                rest = refs[4:]
+                alpha_ref = normin_ref = None
             w_ref = bias_ref = None
         if banded:
             band_ref = rest[0]
@@ -2053,41 +2148,56 @@ def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
         final = final_ref[:].astype(jnp.float32)
         hi = jax.lax.Precision.HIGHEST
         is_last_all = m_all * (1.0 - mn_all)
-        p = ckpt_ref[0].astype(jnp.float32)
         v_hat = carry_v[:]
         prev_wsel = carry_wsel[:]
         prev_wgt = carry_wgt[:]
-        a_list, norm_list = [], []
         u1_list = [None] * k_steps
-        for j in range(k_steps):
-            k = k_steps - 1 - j
-            propagated = propagate(p)
-            if j == 0:
-                base = jnp.where(first_time_block, p, propagated)
-            else:
-                base = propagated
-            raw = base * e_all[j]
-            norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
-            p = raw / norm
-            keep = m_all[j]
-            if j == 0:
-                keep = jnp.where(first_time_block, 1.0, keep)
-            a_list.append(p)
-            norm_list.append(keep * norm + (1.0 - keep))
-            u1 = propagate_t(v_hat)
-            u1 = (is_last_all[k] * final
-                  + (1.0 - is_last_all[k]) * u1)
-            u1_list[k] = u1
-            v = e_all[k] * u1
-            sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
-            v_hat = v / sv
+        if stored_alpha:
+            # the forward trajectory streams in — only the backward
+            # chain is serial
+            a_all = alpha_ref[:].astype(jnp.float32)    # (K, S, B)
+            norm_all = normin_ref[:].astype(jnp.float32)  # (K, 1, B)
+            for j in range(k_steps):
+                k = k_steps - 1 - j
+                u1 = propagate_t(v_hat)
+                u1 = (is_last_all[k] * final
+                      + (1.0 - is_last_all[k]) * u1)
+                u1_list[k] = u1
+                v = e_all[k] * u1
+                sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
+                v_hat = v / sv
+        else:
+            p = ckpt_ref[0].astype(jnp.float32)
+            a_list, norm_list = [], []
+            for j in range(k_steps):
+                k = k_steps - 1 - j
+                propagated = propagate(p)
+                if j == 0:
+                    base = jnp.where(first_time_block, p, propagated)
+                else:
+                    base = propagated
+                raw = base * e_all[j]
+                norm = jnp.maximum(raw.sum(0, keepdims=True), tiny)
+                p = raw / norm
+                keep = m_all[j]
+                if j == 0:
+                    keep = jnp.where(first_time_block, 1.0, keep)
+                a_list.append(p)
+                norm_list.append(keep * norm + (1.0 - keep))
+                u1 = propagate_t(v_hat)
+                u1 = (is_last_all[k] * final
+                      + (1.0 - is_last_all[k]) * u1)
+                u1_list[k] = u1
+                v = e_all[k] * u1
+                sv = jnp.maximum(v.sum(0, keepdims=True), tiny)
+                v_hat = v / sv
+            a_all = jnp.stack(a_list)                   # (K, S, B)
+            norm_all = jnp.stack(norm_list)             # (K, 1, B)
         carry_v[:] = v_hat
 
         # vectorized epilogue (identical γ/ŵ/weights math to the
         # γ-emitting kernel) + the in-VMEM moment accumulation
         xi_v = xi[:]
-        a_all = jnp.stack(a_list)                       # (K, S, B)
-        norm_all = jnp.stack(norm_list)                 # (K, 1, B)
         u1_all = jnp.stack(u1_list)                     # (K, S, B)
         ab_all = a_all * u1_all
         absum_all = ab_all.sum(1, keepdims=True)
@@ -2152,7 +2262,8 @@ def _make_estep_ckpt_acc_kernel_lm(k_steps: int, n_blocks: int,
 def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
                                  sel_r_t, sel_c_t, stats_lm,
                                  interpret: bool = False, trans=None,
-                                 w=None, bias=None):
+                                 w=None, bias=None,
+                                 alphas=None, norms=None):
     """Accumulating lane-major fused E-step: smoothing + restricted ξ
     + in-VMEM γᵀ@stats moment accumulation, with NO (T, S, B) γ output
     (see :func:`_make_estep_ckpt_acc_kernel_lm`).
@@ -2163,10 +2274,17 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
     is ignored (pass None) — the kernel's only big input is stats.
     Returns (acc2 (S, P) f32, counts (S,) f32, γ0 (S, B),
     xi_raw (n_r, n_c)).
+
+    With ``alphas (t_pad, S, B)`` / ``norms (t_pad, 1, B)`` (from
+    :func:`forward_llh_ckpt_pass_lm` ``store_alpha=True``) the kernel
+    streams the stored forward trajectory instead of recomputing it
+    from ``ckpts`` (pass None) — outputs bit-identical, serial work
+    roughly halved (see STORE_ALPHA).
     """
     banded = bands is not None
     full_xi = sel_r_t is None
     fuse = w is not None
+    stored = alphas is not None
     t_len, p_dim, b = stats_lm.shape
     s = w.shape[0] if fuse else llh_lm.shape[1]
     n_r, n_c = (s, s) if full_xi else (sel_r_t.shape[0], sel_c_t.shape[0])
@@ -2174,7 +2292,11 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
     k_steps = _steps_per_block(b, s)
     t_pad = -(-t_len // k_steps) * k_steps
     n_blocks = t_pad // k_steps
-    if ckpts.shape[0] != n_blocks:
+    if stored:
+        if alphas.shape[0] != t_pad:
+            raise ValueError(
+                f"stored-α̂ length {alphas.shape[0]} != t_pad {t_pad}")
+    elif ckpts.shape[0] != n_blocks:
         raise ValueError(
             f"checkpoint count {ckpts.shape[0]} != n_blocks {n_blocks}")
     if not fuse and llh_lm.shape[0] != t_len:
@@ -2192,15 +2314,23 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
     const2 = lambda shape: pl.BlockSpec(
         shape, lambda t: (0, 0), memory_space=pltpu.VMEM
     )
+    if stored:
+        fwd_specs = [big,
+                     pl.BlockSpec((k_steps, 1, b), rev,
+                                  memory_space=pltpu.VMEM)]
+        fwd_args = [alphas, norms]
+    else:
+        fwd_specs = [ckpt_spec]
+        fwd_args = [ckpts]
     if fuse:
-        in_specs = [big_stats, const2((1, b)), ckpt_spec,
+        in_specs = [big_stats, const2((1, b)), *fwd_specs,
                     const2(w.shape), const2((s, 1))]
-        args = [stats_p, lens, ckpts, w.astype(jnp.float32),
+        args = [stats_p, lens, *fwd_args, w.astype(jnp.float32),
                 bias.astype(jnp.float32)[:, None]]
     else:
         llh_p = _pad_tm(llh_lm, t_pad, 0.0)
-        in_specs = [big, const2((1, b)), ckpt_spec, big_stats]
-        args = [llh_p, lens, ckpts, stats_p]
+        in_specs = [big, const2((1, b)), *fwd_specs, big_stats]
+        args = [llh_p, lens, *fwd_args, stats_p]
     if banded:
         band_arr = jnp.stack(list(bands), axis=-1).astype(jnp.float32)
         in_specs.append(const2((s, 4)))
@@ -2216,7 +2346,7 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, ckpts, bands, final_vec, mask,
     acc, gamma0, xi = pl.pallas_call(
         _make_estep_ckpt_acc_kernel_lm(
             k_steps, n_blocks, banded=banded, full_xi=full_xi,
-            fuse_ellh=fuse),
+            fuse_ellh=fuse, stored_alpha=stored),
         grid=(n_blocks,),
         in_specs=in_specs,
         out_specs=[const2((s, p_dim + 1)), fixed_one,

@@ -536,6 +536,24 @@ def phone_loop_estep_ckpt_acc_lm(llh_lm, bands, ckpts, final_vec, mask,
     )
 
 
+def phone_loop_estep_ckpt_acc_alpha_lm(bands, final_vec, mask, sel_r_t,
+                                       sel_c_t, stats_lm, w, bias,
+                                       alphas, norms):
+    """Stored-α̂ accumulating fused E-step: the forward trajectory from
+    :func:`phone_loop_logz_stats_alpha_lm` streams into the smoothing
+    kernel instead of being recomputed from block checkpoints — the
+    serial loop carries only the backward chain (pallas_scan
+    STORE_ALPHA).  Outputs bit-identical to
+    :func:`phone_loop_estep_ckpt_acc_lm`.  Not differentiable
+    (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        None, None, bands, final_vec, mask, sel_r_t, sel_c_t,
+        stats_lm, w=w, bias=bias, alphas=alphas, norms=norms,
+    )
+
+
 def _logz_from_kernels(stats_lm, bands, w, bias, trans, init_lm,
                        final_lm, mask):
     from beer_tpu.ops import pallas_scan
@@ -604,6 +622,64 @@ phone_loop_logz_stats_lm.defvjp(_pl_logz_stats_lm_fwd,
                                 _logz_stats_lm_bwd_impl)
 
 
+def _logz_alpha_from_kernels(stats_lm, bands, w, bias, trans, init_lm,
+                             final_lm, mask):
+    from beer_tpu.ops import pallas_scan
+
+    alphas, norms, a_last, logz_base = pallas_scan.forward_llh_ckpt_pass_lm(
+        stats_lm, bands, init_lm, mask,
+        trans=None if bands is not None else trans, w=w, bias=bias,
+        store_alpha=True,
+    )
+    tiny = jnp.finfo(logz_base.dtype).tiny
+    log_z = logz_base + jnp.log(
+        jnp.maximum((a_last * final_lm).sum(0), tiny))
+    return log_z * (mask.sum(-1) > 0), alphas, norms
+
+
+@jax.custom_vjp
+def phone_loop_logz_stats_alpha_lm(stats_lm, bands, w, bias, trans,
+                                   init_lm, final_lm, mask):
+    """Stored-α̂ variant of :func:`phone_loop_logz_stats_lm`: the
+    forward kernel emits the full α̂ trajectory + per-step normalizers
+    (returns ``(log_z, alphas, norms)``) so the accumulate pass can
+    skip its serial forward recompute
+    (:func:`phone_loop_estep_ckpt_acc_alpha_lm`).  The alphas/norms
+    outputs are non-differentiable seeds; the Fisher-identity backward
+    is identical to the ckpt route's (block checkpoints are a cheap
+    slice of the stored trajectory)."""
+    return _logz_alpha_from_kernels(stats_lm, bands, w, bias, trans,
+                                    init_lm, final_lm, mask)
+
+
+def _pl_logz_stats_alpha_lm_fwd(*args):
+    out = phone_loop_logz_stats_alpha_lm(*args)
+    return out, args + (out[1],)
+
+
+def _pl_logz_stats_alpha_lm_bwd(res, ct):
+    from beer_tpu.ops import pallas_scan
+
+    (stats_lm, bands, w, bias, trans, init_lm, final_lm, mask,
+     alphas) = res
+    ct_logz, _ct_a, _ct_n = ct
+    b = stats_lm.shape[2]
+    s = w.shape[0]
+    k_steps = pallas_scan._steps_per_block(b, s)
+    # block-entry checkpoints = init + every k-th stored α̂ (bit-equal
+    # to the ckpt kernel's ckpt_out by construction)
+    ckpts = jnp.concatenate(
+        [init_lm[None].astype(alphas.dtype),
+         alphas[k_steps - 1 :: k_steps][:-1]], axis=0)
+    full = (stats_lm, bands, w, bias, trans, init_lm, final_lm, mask,
+            ckpts)
+    return _logz_stats_lm_bwd_impl(full, (ct_logz, None))
+
+
+phone_loop_logz_stats_alpha_lm.defvjp(_pl_logz_stats_alpha_lm_fwd,
+                                      _pl_logz_stats_alpha_lm_bwd)
+
+
 @jax.custom_vjp
 def hmm_logz_stats_lm(stats_lm, w, bias, trans, init_lm, final_lm,
                       mask):
@@ -628,6 +704,49 @@ def _hmm_logz_stats_lm_bwd(res, ct):
 
 
 hmm_logz_stats_lm.defvjp(_hmm_logz_stats_lm_fwd, _hmm_logz_stats_lm_bwd)
+
+
+@jax.custom_vjp
+def hmm_logz_stats_alpha_lm(stats_lm, w, bias, trans, init_lm, final_lm,
+                            mask):
+    """Dense-transition mirror of
+    :func:`phone_loop_logz_stats_alpha_lm` (general shared-graph HMM):
+    returns ``(log_z, alphas, norms)`` for the recompute-free
+    accumulate pass."""
+    return _logz_alpha_from_kernels(stats_lm, None, w, bias, trans,
+                                    init_lm, final_lm, mask)
+
+
+def _hmm_logz_stats_alpha_lm_fwd(*args):
+    out = hmm_logz_stats_alpha_lm(*args)
+    return out, args + (out[1],)
+
+
+def _hmm_logz_stats_alpha_lm_bwd(res, ct):
+    stats_lm, w, bias, trans, init_lm, final_lm, mask, alphas = res
+    full = (stats_lm, None, w, bias, trans, init_lm, final_lm, mask,
+            alphas)
+    (d_stats, _none, d_w, d_bias, d_trans, d_init, d_final,
+     d_mask) = _pl_logz_stats_alpha_lm_bwd(full, ct)
+    return (d_stats, d_w, d_bias, d_trans, d_init, d_final, d_mask)
+
+
+hmm_logz_stats_alpha_lm.defvjp(_hmm_logz_stats_alpha_lm_fwd,
+                               _hmm_logz_stats_alpha_lm_bwd)
+
+
+def hmm_estep_ckpt_acc_alpha_lm(stats_lm, trans, final_vec, mask, w,
+                                bias, alphas, norms):
+    """Stored-α̂ mirror of :func:`hmm_estep_ckpt_acc_lm` (full (S, S)
+    ξ, dense transitions): the forward trajectory streams in, the
+    kernel's serial loop is backward-only.  Outputs bit-identical.
+    Not differentiable (stop-gradient inputs)."""
+    from beer_tpu.ops import pallas_scan
+
+    return pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        None, None, None, final_vec, mask, None, None, stats_lm,
+        trans=trans, w=w, bias=bias, alphas=alphas, norms=norms,
+    )
 
 
 @jax.custom_vjp

@@ -814,3 +814,148 @@ def test_lane_major_fuse_ellh_matches_llh_variant(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(xi2), np.asarray(xi1),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_stored_alpha_bit_matches_ckpt_route(rng):
+    """STORE_ALPHA route (forward emits the α̂ trajectory + normalizers;
+    the accumulating kernel skips its serial forward recompute) is
+    BIT-identical to the checkpoint route: same log Z / last, block
+    checkpoints are a slice of the stored trajectory, and every
+    accumulate output (acc2/counts/γ0/ξ) matches exactly — the stored
+    values are the recompute's values, read instead of rebuilt."""
+    b, t_len, n_units, spu, d = 16, 37, 2, 3, 4
+    s = n_units * spu
+    p_dim = 2 * d
+    ids = np.arange(s)
+    a_self = np.full(s, 0.6, np.float32)
+    a_adv = np.where(ids % spu != spu - 1, 0.4, 0.0).astype(np.float32)
+    exit_v = np.zeros(s, np.float32)
+    exit_v[ids % spu == spu - 1] = 0.2
+    w_v = np.zeros(s, np.float32)
+    w_v[ids % spu == 0] = 1.0 / n_units
+    bands = tuple(jnp.asarray(v) for v in (a_self, a_adv, exit_v, w_v))
+    stats_lm = jnp.asarray(
+        rng.normal(size=(t_len, p_dim, b)).astype(np.float32))
+    w_mat = jnp.asarray(rng.normal(size=(s, p_dim)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(s,)).astype(np.float32))
+    lengths = rng.integers(1, t_len + 1, size=b)
+    lengths[0] = t_len
+    lengths[1] = 0
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    iv = jnp.full((s, b), 1.0 / s, jnp.float32)
+    fv = jnp.broadcast_to(jnp.asarray(exit_v)[:, None], (s, b)).astype(
+        jnp.float32)
+    rows = jnp.arange(n_units, dtype=jnp.int32) * spu + spu - 1
+    cols = jnp.arange(n_units, dtype=jnp.int32) * spu
+    sel_r_t = jax.nn.one_hot(rows, s, dtype=jnp.float32)
+    sel_c_t = jax.nn.one_hot(cols, s, dtype=jnp.float32)
+
+    ck, last1, z1 = pallas_scan.forward_llh_ckpt_pass_lm(
+        stats_lm, bands, iv, mask, interpret=True, w=w_mat, bias=bias)
+    al, nm, last2, z2 = pallas_scan.forward_llh_ckpt_pass_lm(
+        stats_lm, bands, iv, mask, interpret=True, w=w_mat, bias=bias,
+        store_alpha=True)
+    np.testing.assert_array_equal(np.asarray(z2), np.asarray(z1))
+    np.testing.assert_array_equal(np.asarray(last2), np.asarray(last1))
+    k = pallas_scan._steps_per_block(b, s)
+    ck2 = jnp.concatenate([iv[None], al[k - 1 :: k][:-1]], axis=0)
+    np.testing.assert_array_equal(np.asarray(ck2), np.asarray(ck))
+
+    o_ck = pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        None, ck, bands, fv, mask, sel_r_t, sel_c_t, stats_lm,
+        interpret=True, w=w_mat, bias=bias)
+    o_al = pallas_scan.phone_loop_estep_ckpt_acc_lm(
+        None, None, bands, fv, mask, sel_r_t, sel_c_t, stats_lm,
+        interpret=True, w=w_mat, bias=bias, alphas=al, norms=nm)
+    for x, y in zip(o_ck, o_al):
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_stored_alpha_logz_grads_match_ckpt_route(rng, monkeypatch):
+    """phone_loop_logz_stats_alpha_lm: value and Fisher-identity
+    gradients (∂/∂stats, ∂/∂W, ∂/∂bias) are bit-equal to the ckpt
+    wrapper's — the backward rebuilds block checkpoints by slicing the
+    stored trajectory."""
+    monkeypatch.setattr(pallas_scan, "FORCE_INTERPRET", True)
+    b, t_len, s, p_dim = 8, 21, 6, 5
+    stats_lm = jnp.asarray(
+        rng.normal(size=(t_len, p_dim, b)).astype(np.float32))
+    w_mat = jnp.asarray(
+        (rng.normal(size=(s, p_dim)) * 0.3).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(s,)).astype(np.float32))
+    a_self = jnp.asarray(rng.uniform(0.3, 0.9, s).astype(np.float32))
+    a_adv = jnp.asarray(rng.uniform(0.05, 0.4, s).astype(np.float32))
+    exit_v = jnp.asarray(
+        (rng.uniform(size=s) < 0.5).astype(np.float32) * 0.2)
+    w_v = jnp.asarray(rng.uniform(0.0, 0.2, s).astype(np.float32))
+    bands = (a_self, a_adv, exit_v, w_v)
+    iv = jnp.asarray(rng.uniform(0.1, 1.0, (s, b)).astype(np.float32))
+    fv = jnp.asarray(rng.uniform(0.1, 1.0, (s, b)).astype(np.float32))
+    lengths = rng.integers(3, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+    trans = jnp.eye(s, dtype=jnp.float32)
+    ct = jnp.arange(1.0, b + 1)
+
+    def f_ck(st, ww, bb):
+        lz, _ = semiring_scan.phone_loop_logz_stats_lm(
+            st, bands, ww, bb, trans, iv, fv, mask)
+        return (lz * ct).sum()
+
+    def f_al(st, ww, bb):
+        lz, _, _ = semiring_scan.phone_loop_logz_stats_alpha_lm(
+            st, bands, ww, bb, trans, iv, fv, mask)
+        return (lz * ct).sum()
+
+    v1, g1 = jax.value_and_grad(f_ck, argnums=(0, 1, 2))(
+        stats_lm, w_mat, bias)
+    v2, g2 = jax.value_and_grad(f_al, argnums=(0, 1, 2))(
+        stats_lm, w_mat, bias)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(b_), np.asarray(a))
+
+
+def test_stored_alpha_model_trajectories_identical(rng, monkeypatch):
+    """Model-level STORE_ALPHA gate: PhoneLoop and (dense-transition)
+    HMM VB trajectories are bit-identical with the stored-α̂ route on
+    vs off — the stored forward values ARE the recompute's values.
+    (On-chip the trade measured a WASH at the bench shape — extra α̂
+    HBM traffic repays the removed serial recompute, see the
+    STORE_ALPHA comment — so it defaults off; this test keeps the
+    env-activatable path honest.)"""
+    import beer_tpu
+    from beer_tpu.models import graph as graph_mod
+    from beer_tpu.models.hmm import HMM
+    from beer_tpu.models.phoneloop import PhoneLoop
+    from beer_tpu.vbi import vb_step
+
+    monkeypatch.setattr(pallas_scan, "FORCE_INTERPRET", True)
+    b, t_len, d = 8, 27, 4
+    x = jnp.asarray(rng.normal(size=(b, t_len, d)).astype(np.float32))
+    lengths = rng.integers(4, t_len + 1, size=b)
+    lengths[0] = t_len
+    mask = jnp.asarray(
+        (np.arange(t_len)[None] < lengths[:, None]).astype(np.float32))
+
+    def trajectories(store):
+        monkeypatch.setattr(pallas_scan, "STORE_ALPHA", store)
+        nset = beer_tpu.NormalSet.create(
+            jnp.zeros(d), jnp.ones(d), size=6, cov_type="diagonal",
+            noise_std=0.5, key=jax.random.PRNGKey(1))
+        pl_model = PhoneLoop.create(2, 3, nset)
+        hmm = HMM.create(graph_mod.ergodic(6).compile(), nset)
+        out = []
+        for model in (pl_model, hmm):
+            es = []
+            for _ in range(3):
+                e, model = vb_step(model, x, mask=mask)
+                es.append(float(e))
+            out.append(es)
+        return out
+
+    off = trajectories("0")
+    on = trajectories("1")
+    assert on == off
