@@ -313,6 +313,11 @@ def _gmm_estep_kernel(xcat_ref, m_ref, e1_ref, e2_ref, w_ref,
     llh_ref[:] = (m + jnp.log(ssum)) * msk
     r = (p / ssum) * msk                                 # (Tt, K)
     dn = (((0,), (0,)), ((), ()))
+    # HIGHEST (bf16_6x, ~2^-24 products) is the accumulation's floor:
+    # 16-bit-limb paths (~2^-16) measurably oscillate the VB ELBO
+    # (docs/PERFORMANCE.md round-4 table), 3-pass lands at ~2^-16 too
+    # (drops lo·lo), and Mosaic rejects Precision.HIGH in-kernel
+    # ("Unsupported dot precision") besides.
     a_acc[:] += jax.lax.dot_general(r, s, dn, precision=hi,
                                     preferred_element_type=f32)
 
