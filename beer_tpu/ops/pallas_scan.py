@@ -133,9 +133,10 @@ _ALPHA_MAX_BYTES = int(
 
 def use_store_alpha(t: int, s: int, b: int) -> bool:
     """Trace-time gate for the stored-α̂ fused E-step (static shapes)."""
-    if STORE_ALPHA in ("1", "true", True):
+    mode = str(STORE_ALPHA).strip().lower()
+    if mode in ("1", "true", "on", "yes"):
         return True
-    if STORE_ALPHA == "auto":
+    if mode == "auto":
         return t * s * b * 4 <= _ALPHA_MAX_BYTES
     return False
 

@@ -555,17 +555,22 @@ def phone_loop_estep_ckpt_acc_alpha_lm(bands, final_vec, mask, sel_r_t,
 
 
 def _logz_from_kernels(stats_lm, bands, w, bias, trans, init_lm,
-                       final_lm, mask):
+                       final_lm, mask, store_alpha: bool = False):
+    """Shared forward: (log_z, *seed) where seed is (ckpts,) or
+    (alphas, norms) under ``store_alpha`` — one epilogue for both
+    routes so the tiny-clamp / zero-length handling cannot diverge."""
     from beer_tpu.ops import pallas_scan
 
-    ckpts, a_last, logz_base = pallas_scan.forward_llh_ckpt_pass_lm(
+    out = pallas_scan.forward_llh_ckpt_pass_lm(
         stats_lm, bands, init_lm, mask,
         trans=None if bands is not None else trans, w=w, bias=bias,
+        store_alpha=store_alpha,
     )
+    *seed, a_last, logz_base = out
     tiny = jnp.finfo(logz_base.dtype).tiny
     log_z = logz_base + jnp.log(
         jnp.maximum((a_last * final_lm).sum(0), tiny))
-    return log_z * (mask.sum(-1) > 0), ckpts
+    return (log_z * (mask.sum(-1) > 0), *seed)
 
 
 def _logz_stats_lm_bwd_impl(res, ct):
@@ -622,21 +627,6 @@ phone_loop_logz_stats_lm.defvjp(_pl_logz_stats_lm_fwd,
                                 _logz_stats_lm_bwd_impl)
 
 
-def _logz_alpha_from_kernels(stats_lm, bands, w, bias, trans, init_lm,
-                             final_lm, mask):
-    from beer_tpu.ops import pallas_scan
-
-    alphas, norms, a_last, logz_base = pallas_scan.forward_llh_ckpt_pass_lm(
-        stats_lm, bands, init_lm, mask,
-        trans=None if bands is not None else trans, w=w, bias=bias,
-        store_alpha=True,
-    )
-    tiny = jnp.finfo(logz_base.dtype).tiny
-    log_z = logz_base + jnp.log(
-        jnp.maximum((a_last * final_lm).sum(0), tiny))
-    return log_z * (mask.sum(-1) > 0), alphas, norms
-
-
 @jax.custom_vjp
 def phone_loop_logz_stats_alpha_lm(stats_lm, bands, w, bias, trans,
                                    init_lm, final_lm, mask):
@@ -648,8 +638,8 @@ def phone_loop_logz_stats_alpha_lm(stats_lm, bands, w, bias, trans,
     outputs are non-differentiable seeds; the Fisher-identity backward
     is identical to the ckpt route's (block checkpoints are a cheap
     slice of the stored trajectory)."""
-    return _logz_alpha_from_kernels(stats_lm, bands, w, bias, trans,
-                                    init_lm, final_lm, mask)
+    return _logz_from_kernels(stats_lm, bands, w, bias, trans,
+                              init_lm, final_lm, mask, store_alpha=True)
 
 
 def _pl_logz_stats_alpha_lm_fwd(*args):
@@ -713,8 +703,8 @@ def hmm_logz_stats_alpha_lm(stats_lm, w, bias, trans, init_lm, final_lm,
     :func:`phone_loop_logz_stats_alpha_lm` (general shared-graph HMM):
     returns ``(log_z, alphas, norms)`` for the recompute-free
     accumulate pass."""
-    return _logz_alpha_from_kernels(stats_lm, None, w, bias, trans,
-                                    init_lm, final_lm, mask)
+    return _logz_from_kernels(stats_lm, None, w, bias, trans,
+                              init_lm, final_lm, mask, store_alpha=True)
 
 
 def _hmm_logz_stats_alpha_lm_fwd(*args):

@@ -574,10 +574,14 @@ def bench_streamed(archive_path="/tmp/beer_stream_bench.bar", epochs=3):
                              buckets=STREAM_BUCKETS)
 
     stats = {}
+    sync_diag = {}
     for epoch in range(epochs):
         # last epoch: fully async (the hmm-train trainer's real mode —
         # per-batch ELBOs stay lazy so H2D overlaps compute); earlier
-        # epochs sync per batch for the device-time diagnostic
+        # epochs sync per batch so step_t measures real device time
+        # (under async dispatch step_t would be dispatch-only noise, so
+        # the device/idle diagnostics are taken from the last sync
+        # epoch instead)
         async_mode = epoch == epochs - 1
         t0 = time.time()
         frames, step_t, n_batches = 0.0, 0.0, 0
@@ -605,21 +609,27 @@ def bench_streamed(archive_path="/tmp/beer_stream_bench.bar", epochs=3):
             for e in elbos:
                 float(e)
         wall = time.time() - t0
+        if not async_mode:
+            sync_diag = {
+                "device_frames_per_s": frames / step_t,
+                "loader_idle_pct": 100.0 * (wall - step_t) / wall,
+                "sync_epoch_s": wall,
+            }
         stats = {
             "streamed_frames_per_s": frames / wall,
-            "device_frames_per_s": frames / step_t,
-            "loader_idle_pct": 100.0 * (wall - step_t) / wall,
             "n_batches": n_batches,
             "n_shapes": len(loader.bucket_t_max),
             "epoch_s": wall,
             "frames": frames,
             "async": async_mode,
+            **sync_diag,
         }
+        diag = (f"(per-batch-sync device {frames/step_t/1e6:.1f}M, "
+                f"idle {100.0*(wall-step_t)/wall:.1f}%)"
+                if not async_mode else "(pipelined)")
         print(f"# streamed epoch {epoch}"
               f"{' (async)' if async_mode else ''}: "
-              f"{frames/wall/1e6:.1f}M f/s "
-              f"(step-side {frames/step_t/1e6:.1f}M, other "
-              f"{stats['loader_idle_pct']:.1f}%)", file=sys.stderr)
+              f"{frames/wall/1e6:.1f}M f/s {diag}", file=sys.stderr)
     # resident-batch upper bound at the largest bucket shape: the same
     # jitted step re-run on one in-memory batch (no host loop, no loader)
     idx = list(loader.bucket_indices[-1][:STREAM_BATCH])
