@@ -38,12 +38,16 @@ _NATIVE_DIR = Path(__file__).parent / "native"
 def write_archive(path, utterances: Dict[str, np.ndarray]) -> None:
     """Write a BEER_AR1 archive from {uttid: (T, D) float32 array}.
 
-    The archive is written to a process-unique temp file and published
+    The archive is written to a writer-unique temp file and published
     with an atomic ``os.replace`` so concurrent readers (e.g. N parallel
     ``hmm accumulate`` jobs all converting the same .npz on first use)
-    see either no file or a complete one, never a torn write.
+    see either no file or a complete one, never a torn write.  The temp
+    name comes from ``tempfile`` (O_EXCL-created random suffix), not the
+    PID: under the SGE array-job backend, converters on DIFFERENT hosts
+    share the filesystem and can collide on PID.
     """
     import os
+    import tempfile
 
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -55,9 +59,11 @@ def write_archive(path, utterances: Dict[str, np.ndarray]) -> None:
     # mmap are aligned (each utterance's nbytes is a multiple of 4, so
     # alignment of the first offset carries through).
     data_start = -(-index_size // 4) * 4
-    tmp = path.with_name(f".{path.name}.tmp.{os.getpid()}")
+    fd, tmp_name = tempfile.mkstemp(
+        prefix=f".{path.name}.tmp.", dir=path.parent)
+    tmp = Path(tmp_name)
     try:
-        with open(tmp, "wb") as fh:
+        with os.fdopen(fd, "wb") as fh:
             fh.write(_MAGIC)
             fh.write(pystruct.pack("<Q", len(items)))
             offset = data_start

@@ -2566,9 +2566,10 @@ def _make_viterbi_banded_kernel(k_steps: int):
 
     Per step, all VPU on (B, S): three candidate families (stay,
     advance, loop-back through the best exit) — the backtrace state is
-    a 3-way choice code per (t, b, s) plus the exit argmax per (t, b),
-    both stored bf16 (values < 256, exact; int8 stores are the only
-    alternative and buy nothing at this size).  No normalization: log
+    a 3-way choice code per (t, b, s) stored bf16 (values in {0,1,2},
+    exact) plus the exit argmax per (t, b) stored f32 (exact to 2^24;
+    bf16 would silently round state indices above 256, and phone loops
+    with 86+ units x 3 states exceed that).  No normalization: log
     scores drift ~llh·T ≈ -3e4, far inside f32.
     """
 
@@ -2616,7 +2617,7 @@ def _make_viterbi_banded_kernel(k_steps: int):
             choice = jnp.where(keep > 0, choice, 0)
             exi = jnp.where(keep > 0, exi, 0)
             choice_out[k] = choice.astype(jnp.bfloat16)
-            exarg_out[k] = exi.astype(jnp.bfloat16)
+            exarg_out[k] = exi.astype(jnp.float32)
         carry_a[:] = a
 
         @pl.when(pid == pl.num_programs(0) - 1)
@@ -2657,7 +2658,7 @@ def viterbi_fwd_banded(llh_log, log_bands, log_init, mask,
                                 memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((t_pad, b, s), jnp.bfloat16),
-            jax.ShapeDtypeStruct((t_pad, b, 1), jnp.bfloat16),
+            jax.ShapeDtypeStruct((t_pad, b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, s), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, s), jnp.float32)],

@@ -46,8 +46,8 @@ run_shards() { # <epoch>: fan out njobs accumulate jobs, wait for all
         {
             echo '#!/usr/bin/env bash'
             echo 'set -euo pipefail'
-            echo "cd $(pwd)"
-            echo "export BEER_DEVICE=$BEER_DEVICE"
+            printf 'cd %q\n' "$(pwd)"
+            printf 'export BEER_DEVICE=%q\n' "$BEER_DEVICE"
             printf 'python -m beer_tpu.cli hmm accumulate %q %q ' \
                 "$current" "$feats"
             printf '%q/epoch%s.$SGE_TASK_ID.acc ' "$work" "$epoch"

@@ -236,6 +236,50 @@ def test_structured_trans_after_transition_writeback(rng):
                                rtol=1e-6, atol=1e-7)
 
 
+def test_viterbi_kernel_exit_argmax_over_256(monkeypatch):
+    """Regression: the kernel forward stored the per-step exit argmax
+    bf16, exact only to 256 — a loop-back whose best exit state is odd
+    and > 256 (e.g. state 269 of a 90-unit x 3-state loop) backtraced
+    through the wrong state.  Crafted llh climbs unit 89 (267-269) /
+    unit 87 (261-263), then loops back into unit 0, so the stored exit
+    argmax is 269 / 263 (both bf16-unrepresentable).  Kernel route
+    (interpret) must match the dense XLA viterbi exactly."""
+    from beer_tpu.ops import pallas_scan, semiring_scan
+
+    units, spu = 90, 3
+    s = units * spu
+    nset = beer_tpu.NormalSet.create(
+        jnp.zeros(2), jnp.eye(2), size=s, cov_type="diagonal",
+        noise_std=0.7, key=jax.random.PRNGKey(4))
+    loop = PhoneLoop.create(units, spu, nset)
+    graph = loop._effective_graph()
+    t_len = 19
+    llh = np.full((2, t_len, s), -80.0, np.float32)
+    for b, hi in enumerate((267, 261)):
+        for t in range(3):
+            llh[b, t, hi + t] = 0.0
+        for t in range(3, t_len):
+            llh[b, t, (t - 3) % 3] = 0.0
+    m = jnp.ones((2, t_len), jnp.float32)
+    bands = loop._structured_trans(jnp.float32)
+
+    paths_d, score_d = semiring_scan.viterbi(
+        jnp.asarray(llh), graph.log_trans, graph.log_init,
+        graph.log_final, m)
+    monkeypatch.setattr(pallas_scan, "FORCE_INTERPRET", True)
+    paths_k, score_k = semiring_scan.viterbi_banded(
+        jnp.asarray(llh), bands, graph.log_init, graph.log_final, m)
+    np.testing.assert_allclose(np.asarray(score_k),
+                               np.asarray(score_d), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(paths_k),
+                                  np.asarray(paths_d))
+    # the scenario actually exercised the > 256 exit argmax
+    np.testing.assert_array_equal(np.asarray(paths_k)[0, :4],
+                                  [267, 268, 269, 0])
+    np.testing.assert_array_equal(np.asarray(paths_k)[1, :4],
+                                  [261, 262, 263, 0])
+
+
 def test_viterbi_fwd_kernel_matches_xla(rng, monkeypatch):
     """The Pallas (max,+) forward (interpret mode) must give the same
     paths and scores as the XLA banded route."""
