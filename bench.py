@@ -51,6 +51,9 @@ def make_data(b=None, t=None, d=None):
     return data, mask
 
 
+N_SLOPES = 5
+
+
 def _time_epochs(make_epochs, model, x, m, outer, frames_per_epoch, inner):
     """True device time via the SLOPE between two chained-epoch counts.
 
@@ -60,36 +63,53 @@ def _time_epochs(make_epochs, model, x, m, outer, frames_per_epoch, inner):
     `inner // 4` chained epochs and taking the slope cancels the
     per-call constant exactly (same method as
     tools/profile_phoneloop.py).  ``make_epochs(n)`` returns the jitted
-    n-epoch trainer."""
+    n-epoch trainer.
+
+    Takes ``N_SLOPES`` INDEPENDENT slope measurements (each one
+    big-chain call minus one small-chain call, interleaved so chip-load
+    drift hits both ends of a pair) and returns the MEDIAN throughput
+    plus a spread dict — round 4's single mean-of-4 slope could not
+    distinguish a real regression from a loaded-chip day
+    (VERDICT.md round 4, weak #1).
+    """
     n_small = max(1, inner // 4)
 
-    def run(fn):
-        m2, elbo = fn(model, x, m)
-        float(elbo)                       # compile + warm
+    def one_call(fn):
         t0 = time.time()
-        for _ in range(outer):
-            m2, elbo = fn(model, x, m)
-            float(elbo)
-        return (time.time() - t0) / outer, float(elbo)
+        m2, elbo = fn(model, x, m)
+        e = float(elbo)
+        return time.time() - t0, e
 
-    t_big, elbo = run(make_epochs(inner))
-    t_small, _ = run(make_epochs(n_small))
-    diff = t_big - t_small
-    span = inner - n_small
-    # Per-fetch tunnel noise is O(1 ms): when the measured epoch span is
-    # under ~20 ms (fast configs after kernel wins), the slope is
-    # noise-dominated — rescale the chain lengths so the span itself
-    # dominates the fetch jitter, and re-measure.  One extra compile
-    # per rescaled count; scan compile time is ~length-independent.
-    if diff < 0.02:
-        scale = min(64, max(2, int(np.ceil(0.05 / max(diff, 1e-3)))))
-        big2, small2 = inner * scale, n_small * scale
-        t_big, elbo = run(make_epochs(big2))
-        t_small, _ = run(make_epochs(small2))
-        diff = t_big - t_small
-        span = big2 - small2
-    dt_epoch = diff / span
-    return frames_per_epoch / dt_epoch, elbo
+    def measure(big, small):
+        fn_big, fn_small = make_epochs(big), make_epochs(small)
+        _, elbo = one_call(fn_big)        # compile + warm
+        one_call(fn_small)
+        slopes = []
+        for _ in range(max(N_SLOPES, outer)):
+            t_big, _ = one_call(fn_big)
+            t_small, _ = one_call(fn_small)
+            slopes.append((t_big - t_small) / (big - small))
+        return slopes, elbo
+
+    slopes, elbo = measure(inner, n_small)
+    # Per-fetch tunnel noise is O(1-3 ms): when the measured big-small
+    # span is under ~150 ms the single-pair slopes are noise-dominated
+    # (round 4's 29 ms phone-loop span gave +-15% slope scatter) —
+    # rescale the chain lengths so the span dominates the fetch jitter,
+    # and re-measure.  One extra compile per rescaled count; scan
+    # compile time is ~length-independent.
+    med_diff = float(np.median(slopes)) * (inner - n_small)
+    if med_diff < 0.15:
+        scale = min(64, max(2, int(np.ceil(0.3 / max(med_diff, 1e-3)))))
+        slopes, elbo = measure(inner * scale, n_small * scale)
+    tputs = sorted(frames_per_epoch / dt for dt in slopes)
+    spread = {
+        "median": round(float(np.median(tputs)), 1),
+        "min": round(tputs[0], 1),
+        "max": round(tputs[-1], 1),
+        "n_slopes": len(tputs),
+    }
+    return float(np.median(tputs)), elbo, spread
 
 
 # ----------------------------------------------------------------------
@@ -360,10 +380,10 @@ def bench_recognizer(outer=4, inner=10):
             return model, elbos[-1]
         return train_epochs
 
-    tput, elbo = _time_epochs(
+    tput, _elbo, spread = _time_epochs(
         make_epochs, hmm, x, m, outer, float(mask.sum()), inner
     )
-    return tput, elbo, data, mask, graphs
+    return tput, spread, data, mask, graphs
 
 
 def torch_recognizer(data, mask, n_utts=8):
@@ -675,7 +695,7 @@ def _gsm_unit_stats(rng, u, p, d):
     return emission, c
 
 
-def bench_gsm(outer=4, inner=400):
+def bench_gsm(outer=4, inner=2400):
     """Config 6: the H-SHMM subspace gradient step (recipe stage 7's
     dominant stage, SURVEY.md §3.5) — reparameterized ELBO grad + Adam
     over a 3-language hierarchical subspace, one lax.scan dispatch."""
@@ -713,11 +733,17 @@ def bench_gsm(outer=4, inner=400):
         return time.time() - t0
 
     timed(inner), timed(lo)  # compile both
-    best = 0.0
-    for _ in range(outer):
-        dt = timed(inner) - timed(lo)
-        best = max(best, (inner - lo) / dt)
-    return best
+    rates = sorted(
+        (inner - lo) / (timed(inner) - timed(lo))
+        for _ in range(max(N_SLOPES, outer))
+    )
+    med = float(np.median(rates))
+    return med, {
+        "median": round(med, 1),
+        "min": round(rates[0], 1),
+        "max": round(rates[-1], 1),
+        "n_slopes": len(rates),
+    }
 
 
 def torch_gsm(inner=100):
@@ -819,8 +845,8 @@ def flops_per_frame(config):
     return 2 * (4 * D) * S * 2 + 8 * S * S
 
 
-def entry(config, value, baseline):
-    return {
+def entry(config, value, baseline, spread=None):
+    out = {
         "value": round(value, 1),
         "unit": "frames/s",
         "vs_baseline": round(value / baseline, 2),
@@ -828,6 +854,9 @@ def entry(config, value, baseline):
             100.0 * value * flops_per_frame(config) / PEAK_FLOPS, 3
         ),
     }
+    if spread is not None:
+        out["spread"] = spread
+    return out
 
 
 def main():
@@ -880,21 +909,32 @@ def main():
                   file=sys.stderr)
             configs[name] = {"error": f"{type(e).__name__}: {e}"}
 
-    run_config("gmm", lambda: entry("gmm", bench_gmm(data)[0],
-                                    torch_gmm(data)))
-    run_config("hmm", lambda: entry("hmm", bench_hmm(data, mask)[0],
-                                    torch_hmm(data, mask)))
+    def _gmm():
+        v, _, sp = bench_gmm(data)
+        return entry("gmm", v, torch_gmm(data), sp)
+
+    run_config("gmm", _gmm)
+
+    def _hmm():
+        v, _, sp = bench_hmm(data, mask)
+        return entry("hmm", v, torch_hmm(data, mask), sp)
+
+    run_config("hmm", _hmm)
 
     def _recognizer():
-        v, _, rdata, rmask, _graphs = bench_recognizer()
-        return entry("recognizer", v, torch_recognizer(rdata, rmask))
+        v, sp, rdata, rmask, _graphs = bench_recognizer()
+        return entry("recognizer", v, torch_recognizer(rdata, rmask), sp)
 
     run_config("recognizer", _recognizer)
-    run_config("svae", lambda: entry("svae", bench_svae(data, mask)[0],
-                                     torch_svae(data, mask)))
+
+    def _svae():
+        v, _, sp = bench_svae(data, mask)
+        return entry("svae", v, torch_svae(data, mask), sp)
+
+    run_config("svae", _svae)
 
     def _gsm():
-        v = bench_gsm()
+        v, sp = bench_gsm()
         base = torch_gsm()
         return {
             "value": round(v, 1),
@@ -903,13 +943,14 @@ def main():
             "mfu_pct_of_bf16_peak_est": round(
                 100.0 * v * gsm_flops_per_step() / PEAK_FLOPS, 4
             ),
+            "spread": sp,
         }
 
     run_config("gsm", _gsm)
 
     for attempt in (1, 2):
         try:
-            value, elbo = bench_phone_loop(data, mask)
+            value, elbo, spread = bench_phone_loop(data, mask)
             break
         except Exception as e:  # noqa: BLE001 — tunnel flakes happen
             if attempt == 2:
@@ -917,7 +958,7 @@ def main():
             print(f"# phone_loop attempt 1 failed "
                   f"({type(e).__name__}: {e}); retrying", file=sys.stderr)
     baseline = torch_phone_loop(data, mask)
-    configs["phone_loop"] = entry("phone_loop", value, baseline)
+    configs["phone_loop"] = entry("phone_loop", value, baseline, spread)
 
     result = {
         "metric": "phone_loop_vb_estep_throughput",

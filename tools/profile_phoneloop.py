@@ -101,15 +101,20 @@ def timeit(make, model, x, mask, n1, n2, outer):
 
 
 def main():
-    global T
+    global T, B
     ap = argparse.ArgumentParser()
     ap.add_argument("--t", type=int, default=T)
+    ap.add_argument("--b", type=int, default=B,
+                    help="batch size (VPU-occupancy B-sweep: chain "
+                    "length is fixed by T, per-step arithmetic scales "
+                    "with B — time ∝ B means throughput-bound)")
     ap.add_argument("--inner", type=int, nargs=2, default=[4, 16])
     ap.add_argument("--outer", type=int, default=3)
     ap.add_argument("--components", default="llh,infer,estep,full,kl,estats")
     # (fresh --t busts the stale sidechannel compile cache; see memory)
     args = ap.parse_args()
     T = args.t
+    B = args.b
     n1, n2 = args.inner
     wanted = args.components.split(",")
     model, x, mask = make_model_and_data()
