@@ -107,6 +107,58 @@ def test_2d_mesh_data_and_time_sharded(rng):
     )
 
 
+def test_2d_mesh_bench_shape(rng):
+    """dp x sp at the BENCH shape (S=150 phone-loop graph, T=200) with
+    ragged mask edges inside and exactly on every seq-block boundary —
+    the shape-dependent sharding regime the toy cases can't reach
+    (VERDICT r4 ask #5)."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from beer_tpu.models import graph as graph_mod
+
+    cg = graph_mod.phone_loop_graph(50, 3).compile(jnp.float64)
+    s = cg.n_states
+    assert s == 150
+    b, t_len = 8, 200
+    llh = rng.normal(size=(b, t_len, s))
+    # 4 seq blocks of 50 frames: edges strictly inside each block, on
+    # the exact boundaries, and one block fully masked out
+    lengths = np.array([200, 151, 150, 149, 101, 100, 51, 26])
+    mask = (np.arange(t_len)[None] < lengths[:, None]).astype(np.float64)
+
+    devices = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "seq"))
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P("data", "seq"), P(), P(), P(), P("data", "seq")),
+        out_specs=(P("data", "seq"), P("data")),
+        check_vma=False,
+    )
+    def fn(llh, log_trans, log_init, log_final, mask):
+        _, _, log_z, post = seq_parallel.forward_backward_time_sharded(
+            llh, log_trans, log_init, log_final, mask, "seq"
+        )
+        return post, log_z
+
+    post, lz = fn(
+        jnp.asarray(llh), cg.log_trans, cg.log_init, cg.log_final,
+        jnp.asarray(mask),
+    )
+    fb = semiring_scan.forward_backward(
+        jnp.asarray(llh), cg.log_trans, cg.log_init, cg.log_final,
+        jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(lz), np.asarray(fb.log_z), rtol=1e-8)
+    for i, ln in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(post[i, :ln]), np.asarray(fb.posteriors[i, :ln]),
+            rtol=1e-6, atol=1e-9,
+        )
+
+
 def test_time_sharded_with_sparse_graph(rng):
     """Phone-loop-like sparse transitions (LOG_ZERO arcs) stay finite."""
     from beer_tpu.models import graph as graph_mod
