@@ -824,6 +824,181 @@ def gsm_flops_per_step():
 
 
 # ----------------------------------------------------------------------
+# configs 7/8: PPCA / PLDA closed-form VB-EM (the last two SURVEY §2
+# model rows without perf evidence — VERDICT r4 ask #7).  Embedding-
+# scale shapes (speaker-verification style): D=256 vectors, Q=64
+# subspace.
+# ----------------------------------------------------------------------
+PPCA_N, PPCA_D, PPCA_Q = 262144, 256, 64
+PLDA_C, PLDA_PER, PLDA_D, PLDA_Q = 512, 64, 256, 64
+
+
+def _ppca_data():
+    rng = np.random.default_rng(11)
+    w = rng.normal(size=(PPCA_D, PPCA_Q)) / np.sqrt(PPCA_Q)
+    z = rng.normal(size=(PPCA_N, PPCA_Q))
+    x = z @ w.T + 0.1 * rng.normal(size=(PPCA_N, PPCA_D))
+    return x.astype(np.float32)
+
+
+def _plda_data():
+    rng = np.random.default_rng(12)
+    f = rng.normal(size=(PLDA_D, PLDA_Q)) / np.sqrt(PLDA_Q)
+    h = rng.normal(size=(PLDA_C, PLDA_Q))
+    x = (np.repeat(h, PLDA_PER, 0) @ f.T
+         + 0.3 * rng.normal(size=(PLDA_C * PLDA_PER, PLDA_D)))
+    labels = np.repeat(np.arange(PLDA_C), PLDA_PER)
+    return x.astype(np.float32), labels.astype(np.int32)
+
+
+def bench_ppca(outer=4, inner=30):
+    """Full PPCA VB-EM epoch (infer + accumulate + coordinate M-step),
+    `inner` epochs chained in one jitted scan (slope method)."""
+    import jax
+
+    from beer_tpu.models.ppca import PPCA
+    from beer_tpu.vbi import vb_step
+
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_ppca_data())
+    model = PPCA.create(PPCA_D, PPCA_Q, key=jax.random.PRNGKey(5))
+
+    def make_epochs(n):
+        @jax.jit
+        def train(model, x, _m):
+            def body(mdl, _):
+                elbo, mdl = vb_step(mdl, x)
+                return mdl, elbo
+
+            mdl, elbos = jax.lax.scan(body, model, None, length=n)
+            return mdl, elbos[-1]
+
+        return train
+
+    return _time_epochs(
+        make_epochs, model, x, None, outer, float(PPCA_N), inner
+    )
+
+
+def torch_ppca():
+    """The same closed-form PPCA VB-EM epoch in CPU torch f32."""
+    import torch
+
+    x = torch.tensor(_ppca_data())
+    n, d, q = x.shape[0], PPCA_D, PPCA_Q
+    torch.manual_seed(5)
+    w = 0.5 * torch.randn(d, q)
+    w_cov = torch.eye(q)
+    mu = torch.zeros(d)
+    a, b = torch.tensor(1.0), torch.tensor(1.0)
+
+    def epoch(w, w_cov, mu, a, b):
+        e_lam = a / b
+        e_wtw = w.T @ w + d * w_cov
+        cov_z = torch.linalg.inv(torch.eye(q) + e_lam * e_wtw)
+        xc = x - mu
+        m = e_lam * (xc @ w) @ cov_z
+        s_z = n * cov_z + m.T @ m
+        c = xc.T @ m
+        w_cov2 = torch.linalg.inv(torch.eye(q) + e_lam * s_z)
+        w2 = e_lam * c @ w_cov2
+        e_wtw2 = w2.T @ w2 + d * w_cov2
+        resid = ((xc**2).sum() - 2.0 * torch.trace(w2.T @ c)
+                 + (e_wtw2 * s_z).sum())
+        a2 = a + 0.5 * d * n
+        b2 = b + 0.5 * resid
+        mu2 = (x.sum(0) - w2 @ m.sum(0)) / n
+        return w2, w_cov2, mu2, a2, b2
+
+    state = epoch(w, w_cov, mu, a, b)  # warm
+    t0 = time.time()
+    epoch(*state)
+    return n / (time.time() - t0)
+
+
+def bench_plda(outer=4, inner=30):
+    """Full PLDA VB-EM epoch with class labels (segment-sum E-step +
+    per-dim batched F update), chained in one jitted scan."""
+    import jax
+    import jax.numpy as jnp
+
+    from beer_tpu.models.plda import PLDA
+
+    xd, ld = _plda_data()
+    x, y = jnp.asarray(xd), jnp.asarray(ld)
+    model = PLDA.create(PLDA_D, PLDA_Q, key=jax.random.PRNGKey(6))
+    n = xd.shape[0]
+
+    def make_epochs(nep):
+        @jax.jit
+        def train(model, x, yv):
+            def body(mdl, _):
+                stats = mdl.sufficient_statistics(x)
+                llh, cache = mdl.infer(stats, labels=yv, n_classes=PLDA_C)
+                elbo = llh.sum() - mdl.kl_div_posterior_prior()
+                acc = mdl.accumulate(stats, cache)
+                return mdl.vb_update(acc), elbo
+
+            mdl, elbos = jax.lax.scan(body, model, None, length=nep)
+            return mdl, elbos[-1]
+
+        return train
+
+    return _time_epochs(make_epochs, model, x, y, outer, float(n), inner)
+
+
+def torch_plda():
+    """The same PLDA VB-EM epoch in CPU torch f32 (index_add segment
+    sums, batched per-dim F row update)."""
+    import torch
+
+    xd, ld = _plda_data()
+    x = torch.tensor(xd)
+    y = torch.tensor(ld, dtype=torch.long)
+    n, d, q, n_cls = x.shape[0], PLDA_D, PLDA_Q, PLDA_C
+    torch.manual_seed(6)
+    f = 0.5 * torch.randn(d, q)
+    f_cov = torch.eye(q).expand(d, q, q).clone()
+    mu = torch.zeros(d)
+    a, b = torch.ones(d), torch.ones(d)
+
+    def epoch(f, f_cov, mu, a, b):
+        e_lam = a / b
+        e_ftlf = (f.T @ (e_lam[:, None] * f)
+                  + torch.einsum("d,dij->ij", e_lam, f_cov))
+        xc = x - mu
+        counts = torch.zeros(n_cls).index_add_(0, y, torch.ones(n))
+        cov_h = torch.linalg.inv(
+            torch.eye(q)[None] + counts[:, None, None] * e_ftlf[None]
+        )
+        proj = xc @ (e_lam[:, None] * f)
+        sum_proj = torch.zeros(n_cls, q).index_add_(0, y, proj)
+        m_h = torch.einsum("cij,cj->ci", cov_h, sum_proj)
+        e_hh = cov_h + m_h[:, :, None] * m_h[:, None, :]
+        m_per = m_h[y]
+        c_acc = xc.T @ m_per
+        s_h = torch.einsum("c,cij->ij", counts, e_hh)
+        f_cov2 = torch.linalg.inv(
+            torch.eye(q)[None] + e_lam[:, None, None] * s_h[None]
+        )
+        f2 = torch.einsum("d,dq,dqr->dr", e_lam, c_acc, f_cov2)
+        e_ff = torch.einsum("di,dj->dij", f2, f2) + f_cov2
+        resid = ((xc**2).sum(0)
+                 - 2.0 * torch.einsum("dq,dq->d", f2, c_acc)
+                 + torch.einsum("dij,ij->d", e_ff, s_h))
+        a2 = a + 0.5 * n
+        b2 = b + 0.5 * resid
+        mu2 = (x.sum(0) - f2 @ m_per.sum(0)) / n
+        return f2, f_cov2, mu2, a2, b2
+
+    state = epoch(f, f_cov, mu, a, b)  # warm
+    t0 = time.time()
+    epoch(*state)
+    return n / (time.time() - t0)
+
+
+# ----------------------------------------------------------------------
 # flops/frame estimates (for the MFU figure; multiply-add = 2 flops)
 # ----------------------------------------------------------------------
 def flops_per_frame(config):
@@ -841,6 +1016,12 @@ def flops_per_frame(config):
             + 2 * (SVAE_DZ * SVAE_H + SVAE_H * SVAE_H + SVAE_H * 2 * D)
         # fwd + bwd ≈ 3× fwd; + prior scan + conjugate stats/accumulate
         return 3 * mlp + 8 * s * s + 2 * (4 * SVAE_DZ) * s * 2
+    if config == "ppca":
+        # xc@W + m@cov_z + e_zz/resid + accumulate (xcᵀm, mᵀm)
+        return 4 * PPCA_D * PPCA_Q + 8 * PPCA_Q * PPCA_Q
+    if config == "plda":
+        # proj + per-frame e_hh contraction + accumulate xcᵀm
+        return 4 * PLDA_D * PLDA_Q + 4 * PLDA_Q * PLDA_Q
     # phone loop: ELLH + accumulate (2·4D·S each) + fwd/bwd/ξ (8·S²)
     return 2 * (4 * D) * S * 2 + 8 * S * S
 
@@ -862,7 +1043,8 @@ def entry(config, value, baseline, spread=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs",
-                    default="gmm,hmm,recognizer,svae,gsm,phone_loop",
+                    default="gmm,hmm,recognizer,svae,gsm,ppca,plda,"
+                    "phone_loop",
                     help="comma list of configs to run")
     ap.add_argument("--streamed", action="store_true",
                     help="corpus-scale streamed-training bench (own JSON "
@@ -947,6 +1129,18 @@ def main():
         }
 
     run_config("gsm", _gsm)
+
+    def _ppca():
+        v, _, sp = bench_ppca()
+        return entry("ppca", v, torch_ppca(), sp)
+
+    run_config("ppca", _ppca)
+
+    def _plda():
+        v, _, sp = bench_plda()
+        return entry("plda", v, torch_plda(), sp)
+
+    run_config("plda", _plda)
 
     for attempt in (1, 2):
         try:
