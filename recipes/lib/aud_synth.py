@@ -74,6 +74,58 @@ def gamma_dur(rng, mean_frames, lo=2, hi=24):
     return int(np.clip(d, lo, hi))
 
 
+def _babble(rng, n, n_talkers=6):
+    """Speech-shaped interference: sinusoid talkers whose formants do a
+    slow random walk (≈ real babble's spectral occupancy, unlike white
+    noise which the fbank frontend trivially averages out)."""
+    t = np.arange(n) / SRATE
+    total = np.zeros(n)
+    n_ctrl = max(2, n // (SRATE // 5))          # ~5 control points / s
+    for _ in range(n_talkers):
+        f0 = rng.uniform(250, 900)
+        ctrl = np.clip(
+            f0 + np.cumsum(rng.normal(0, 60, size=n_ctrl)), 150, 2800
+        )
+        freq = np.interp(np.arange(n), np.linspace(0, n - 1, n_ctrl), ctrl)
+        phase = 2 * np.pi * np.cumsum(freq) / SRATE
+        amp = 0.5 + 0.5 * np.abs(np.sin(2 * np.pi * rng.uniform(1, 4) * t
+                                        + rng.uniform(0, 2 * np.pi)))
+        total += amp * np.sin(phase)
+    return total / n_talkers
+
+
+def harden_utterance(rng, sig):
+    """Real-corpus channel/noise degradations (VERDICT r4 ask #8):
+
+    * room IR convolution — exponential-decay reverb, τ ∈ [5, 30] ms
+      (truncated to signal length so frame labels stay aligned);
+    * babble at an SNR drawn from a 0–15 dB sweep;
+    * random DC offset (±5% full scale);
+    * 30% of utterances amplitude-clipped at 70% of their peak.
+    """
+    n = len(sig)
+    # room IR
+    tau = rng.uniform(0.005, 0.030) * SRATE
+    ir_len = int(0.040 * SRATE)
+    ir = rng.normal(size=ir_len) * np.exp(-np.arange(ir_len) / tau)
+    ir[0] = 1.0                                   # direct path dominates
+    ir /= np.sqrt((ir**2).sum())
+    sig = np.convolve(sig, ir)[:n]
+    # babble at SNR ∈ [0, 15] dB
+    snr_db = rng.uniform(0.0, 15.0)
+    noise = _babble(rng, n)
+    sig_rms = np.sqrt((sig**2).mean()) + 1e-12
+    noise_rms = np.sqrt((noise**2).mean()) + 1e-12
+    sig = sig + noise * (sig_rms / noise_rms) * 10 ** (-snr_db / 20.0)
+    # DC offset
+    sig = sig + rng.uniform(-0.05, 0.05) * max(1.0, np.abs(sig).max())
+    # occasional clipping
+    if rng.random() < 0.3:
+        lim = 0.7 * np.abs(sig).max()
+        sig = np.clip(sig, -lim, lim)
+    return sig.astype(np.float32)
+
+
 def make_split(
     rng,
     name,
@@ -87,6 +139,7 @@ def make_split(
     formant_scale=1.0,
     audio_subdir=None,
     return_transcripts=False,
+    hard=False,
 ):
     """Write one corpus split: audio .npy + scp + per-frame ref ali.
 
@@ -94,7 +147,10 @@ def make_split(
     ``formant_shift``/``formant_scale`` are the per-language vocal-tract
     factors of the multilingual setting.  Returns the phone-sequence
     transcripts when ``return_transcripts`` (the supervised recipe's
-    labels).
+    labels).  ``hard`` applies real-corpus degradations on top
+    (:func:`harden_utterance`) and draws utterance lengths from a
+    heavy-tailed lognormal matched to real AUD corpora (a few seconds,
+    occasional long utterances) instead of the 5–10-phone uniform.
     """
     out_dir = Path(out_dir)
     shift = np.asarray(formant_shift, float)
@@ -106,7 +162,10 @@ def make_split(
         spk_scale = rng.uniform(0.88, 1.12)
         gain = rng.uniform(0.6, 1.1)
         noise_std = rng.uniform(0.05, 0.18)
-        n_seg = int(rng.integers(5, 11))
+        if hard:
+            n_seg = int(np.clip(rng.lognormal(np.log(10.0), 0.6), 3, 40))
+        else:
+            n_seg = int(rng.integers(5, 11))
         seq = rng.choice(n_phones, size=n_seg, p=unigram)
         segs, labels = [], []
         for ph in seq:
@@ -120,6 +179,8 @@ def make_split(
             )
             labels += [int(ph)] * sum(durs)
         sig = np.concatenate(segs)
+        if hard:
+            sig = harden_utterance(rng, sig)
         utt = f"{name}{tag}_utt{i:04d}"
         path = audio_dir / f"{utt}.npy"
         np.save(path, sig)

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--n-utts-target", type=int, default=4)
     ap.add_argument("--n-utts-eval", type=int, default=40)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hard", action="store_true",
+                    help="real-corpus degradations: reverb IR, babble "
+                    "at 0-15 dB SNR, DC offset, clipping, heavy-tailed "
+                    "utterance lengths (aud_synth.harden_utterance)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -43,7 +47,7 @@ def main():
         for n, tag in ((n_train, ""), (args.n_utts_eval, "_eval")):
             aud_synth.make_split(
                 rng, lang, steady, allo, unigram, out, n, tag=tag,
-                formant_shift=shift, formant_scale=scale,
+                formant_shift=shift, formant_scale=scale, hard=args.hard,
             )
     print(
         f"wrote A/B ({args.n_utts_resourced} train utts), "

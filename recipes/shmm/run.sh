@@ -53,7 +53,10 @@ mkdir -p "$work"
 
 if [ ! -f "$work/wav_C.scp" ]; then
   stage_mark 0 "adversarial multilingual synthetic data (+ eval splits)"
-  python local/make_multilingual_data.py "$work" --seed "$seed"
+  # HARD=1: real-corpus degradations (reverb, babble 0-15 dB SNR, DC
+  # offset, clipping, heavy-tailed lengths) — ./sweep.sh --hard
+  python local/make_multilingual_data.py "$work" --seed "$seed" \
+    ${HARD:+--hard}
 fi
 
 for set_name in A B C A_eval B_eval C_eval; do

@@ -7,18 +7,26 @@
 # durations, per-utterance speaker factors, noise) — the axis the
 # claim actually generalizes over.
 #
-# Usage: ./sweep.sh [n_seeds] [workroot]   (defaults: 3 exp_sweep)
+# Usage: ./sweep.sh [--hard] [n_seeds] [workroot]
+#   (defaults: 3 exp_sweep; --hard adds real-corpus degradations —
+#    reverb IR, babble at 0-15 dB SNR, DC offset, clipping, heavy-
+#    tailed utterance lengths — and uses exp_sweep_hard as workroot)
 
 set -euo pipefail
 cd "$(dirname "$0")"
 
+hard=""
+if [ "${1:-}" = "--hard" ]; then
+  hard=1
+  shift
+fi
 n=${1:-3}
-root=${2:-exp_sweep}
+root=${2:-exp_sweep${hard:+_hard}}
 declare -a km base shmm
 
 for ((s = 0; s < n; s++)); do
-  echo "=== sweep seed $s"
-  SEED=$s ./run.sh "$root/seed$s"
+  echo "=== sweep seed $s${hard:+ (hard)}"
+  HARD=$hard SEED=$s ./run.sh "$root/seed$s"
   get_nmi() { grep -o 'NMI: *[0-9.]*' "$1" | grep -o '[0-9.]*$'; }
   km[$s]=$(get_nmi "$root/seed$s/score_kmeans_C.txt")
   base[$s]=$(get_nmi "$root/seed$s/score_baseline_C.txt")
