@@ -59,7 +59,58 @@ def _shift_up(x):
     return jnp.concatenate([x[1:], z], axis=0)
 
 
-def make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream):
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _make_propagate(mode, c):
+    """Per-step propagators mirroring the production kernels' dense
+    paths on a lane-major (S, B) carry:
+
+    * dot3  — `_dot3_lm`: 3 bf16 (S,S)@(S,B) MXU dots (hi/lo cross
+              terms), summed in f32.
+    * dot1  — the stacked candidate: ONE (S,3S)@(3S,B) dot computing
+              the same three cross terms ([t_hi|t_lo|t_hi] against
+              [p_hi;p_hi;p_lo]).
+    * banded — the flagship rank-1+band form (for cross-checks).
+    """
+    if mode == "none":
+        return None
+    t_hi, t_lo = _split_bf16(c[:, :c.shape[0]] * 1e-3)   # (S, S)
+    if mode == "dot3":
+        def prop(p):
+            p_hi, p_lo = _split_bf16(p)
+            return (
+                jnp.dot(t_hi, p_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(t_lo, p_hi, preferred_element_type=jnp.float32)
+                + jnp.dot(t_hi, p_lo, preferred_element_type=jnp.float32)
+            )
+        return prop
+    if mode == "dot1":
+        t_st = jnp.concatenate([t_hi, t_lo, t_hi], axis=1)  # (S, 3S)
+
+        def prop(p):
+            p_hi, p_lo = _split_bf16(p)
+            p_st = jnp.concatenate([p_hi, p_hi, p_lo], axis=0)  # (3S, B)
+            return jnp.dot(t_st, p_st, preferred_element_type=jnp.float32)
+        return prop
+    if mode == "banded":
+        a_self = c[:, 0:1] * 1e-3
+        a_adv = c[:, 1:2] * 1e-3
+        exit_v = c[:, 2:3] * 1e-3
+        w_v = c[:, 3:4] * 1e-3
+
+        def prop(v_hat):
+            r = (v_hat * w_v).sum(0, keepdims=True)
+            return v_hat * a_self + _shift_up(v_hat) * a_adv + r * exit_v
+        return prop
+    raise ValueError(mode)
+
+
+def make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream,
+                propagate_mode="none"):
     """Grid steps each run k_steps serial iterations on (S, B) carries."""
 
     def kernel(*refs):
@@ -75,6 +126,7 @@ def make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream):
                 cr[:] = c_ref[:]
 
         c = c_ref[:]
+        prop = _make_propagate(propagate_mode, c)
         # touch each streamed block once so its DMA must complete
         s_add = None
         for sr in stream_refs:
@@ -84,6 +136,8 @@ def make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream):
         for _ in range(k_steps):
             nxt = []
             for v in vs:
+                if prop is not None:
+                    v = prop(v)
                 for _o in range(n_ops):
                     v = v * c
                 if s_add is not None:
@@ -104,17 +158,24 @@ def make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream):
 
 
 def run_chain(s, b, t, k_steps, n_ops, n_chains, with_reduce, n_stream,
-              outer=3):
+              outer=3, propagate_mode="none", cycle=256):
     n_blocks = t // k_steps
+    # The stream arrays cycle over `cycle` real HBM blocks (index map
+    # i % cycle) so the chain can run long enough for the slope method's
+    # >=150 ms span rule (docs/PERFORMANCE.md round-5 drift note) without
+    # allocating (t, s, b) in HBM; the per-step DMA traffic is identical
+    # because consecutive grid steps still address different blocks.
+    cycle = min(cycle, n_blocks)
     c = (1.0 - 1e-7) * jnp.ones((s, b), jnp.float32)
     streams = [
-        jnp.ones((n_blocks * k_steps, s, b), jnp.float32) * 1e-30
+        jnp.ones((cycle * k_steps, s, b), jnp.float32) * 1e-30
         for _ in range(n_stream)
     ]
 
-    kernel = make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream)
+    kernel = make_kernel(k_steps, n_ops, n_chains, with_reduce, n_stream,
+                         propagate_mode)
     in_specs = [pl.BlockSpec((s, b), lambda i: (0, 0))] + [
-        pl.BlockSpec((k_steps, s, b), lambda i: (i, 0, 0))
+        pl.BlockSpec((k_steps, s, b), lambda i: (i % cycle, 0, 0))
         for _ in range(n_stream)
     ]
     fn = pl.pallas_call(
@@ -141,21 +202,32 @@ def run_chain(s, b, t, k_steps, n_ops, n_chains, with_reduce, n_stream,
 
 
 def slope(s, b, t1, t2, k_steps, **kw):
-    a = run_chain(s, b, t1, k_steps, **kw)
-    c = run_chain(s, b, t2, k_steps, **kw)
-    return (c - a) / (t2 - t1)  # seconds per step
+    n1 = (t1 // k_steps) * k_steps
+    n2 = (t2 // k_steps) * k_steps
+    a = run_chain(s, b, n1, k_steps, **kw)
+    c = run_chain(s, b, n2, k_steps, **kw)
+    return (c - a) / (n2 - n1)  # seconds per step
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--s", type=int, default=152)
     ap.add_argument("--b", type=int, default=512)
-    ap.add_argument("--t", type=int, nargs=2, default=[512, 4608])
+    # long spans: the round-5 drift lesson — a differenced span must be
+    # >=150 ms against 1-3 ms tunnel jitter.  2M steps at ~100 ns/step
+    # is ~200 ms; the non-stream configs hold only (S, B) tiles so the
+    # chain length is free, and stream configs cycle a bounded buffer.
+    ap.add_argument("--t", type=int, nargs=2, default=[65536, 2097152])
     ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--cycle", type=int, default=256,
+                    help="stream arrays hold this many real blocks "
+                         "(index map cycles i %% cycle)")
     ap.add_argument("--ops", type=int, nargs="+", default=[1, 2, 4, 8, 16])
     ap.add_argument("--chains", type=int, default=1)
     ap.add_argument("--reduce", action="store_true")
     ap.add_argument("--stream", type=int, default=0)
+    ap.add_argument("--propagate", default="none",
+                    choices=["none", "dot3", "dot1", "banded"])
     ap.add_argument("--outer", type=int, default=3)
     args = ap.parse_args()
     t1, t2 = args.t
@@ -163,12 +235,14 @@ def main():
 
     out = {"s": args.s, "b": args.b, "vregs_per_op": vregs,
            "chains": args.chains, "reduce": bool(args.reduce),
-           "stream": args.stream, "points": {}}
+           "stream": args.stream, "propagate": args.propagate,
+           "points": {}}
     prev = None
     for n in args.ops:
         ns = slope(args.s, args.b, t1, t2, args.k, n_ops=n,
                    n_chains=args.chains, with_reduce=args.reduce,
-                   n_stream=args.stream, outer=args.outer) * 1e9
+                   n_stream=args.stream, outer=args.outer,
+                   propagate_mode=args.propagate, cycle=args.cycle) * 1e9
         total_ops = n * args.chains
         msg = (f"ops={n} x{args.chains}: {ns:8.2f} ns/step "
                f"({ns/max(total_ops,1):6.2f} ns/op, "
