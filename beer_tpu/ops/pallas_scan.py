@@ -105,6 +105,18 @@ FUSE_ACC = os.environ.get("BEER_FUSE_ACC", "1") != "0"
 # tools/exp_fuse_ellh_lm.py.
 FUSE_ELLH = os.environ.get("BEER_FUSE_ELLH", "1") != "0"
 
+# Dense-transition propagate as ONE stacked bf16 MXU dot (K=3S) instead
+# of three K=S dots — same bf16_3x cross terms, one accumulator.  In
+# isolation it is 1.9× faster per serial step at S=32 and 1.45× at
+# S=152 (tools/exp_chain_occupancy.py --propagate dot3 vs dot1), but
+# END-TO-END it is a wash: bench A/B on the v5e reads hmm 226.6→230.0M
+# (+1.5%), recognizer 197.5→188.4M (−4.6%) — the propagate is <5% of
+# the fused E-step (the B-sweeps' throughput-bound verdict) and the
+# per-step re-stack of the CHANGING carry ([p_hi;p_hi;p_lo] concat)
+# costs more than the saved MXU passes at S=18.  Default OFF; kept as
+# an env-gated experiment for future shapes.
+DOT1 = os.environ.get("BEER_DOT1", "0") != "0"
+
 # Store the forward α̂ trajectory (T, S, B) + per-step normalizers
 # (T, 1, B) in HBM and drop the smoothing kernel's serial forward
 # RECOMPUTE: the fused E-step's per-step loop then carries only the
@@ -729,12 +741,24 @@ def _split_bf16(x):
 
 
 def _dot3(x, w_hi, w_lo):
-    """~f32-accurate matmul in 3 bf16 MXU passes (the bf16_3x scheme
-    XLA calls Precision.HIGH, which Pallas does not accept directly).
-    Halves the per-step cost of the 6-pass HIGHEST f32 matmul; relative
-    error ~2⁻²² — well inside the ≤1e-4/frame ELBO parity budget.
-    ``w_hi/w_lo`` from :func:`_split_bf16` (hoisted out of the loop)."""
+    """~f32-accurate matmul computing the bf16_3x cross terms (the
+    scheme XLA calls Precision.HIGH, which Pallas does not accept
+    directly).  Halves the per-step cost of the 6-pass HIGHEST f32
+    matmul; relative error ~2⁻²² — well inside the ≤1e-4/frame ELBO
+    parity budget.  ``w_hi/w_lo`` from :func:`_split_bf16` (hoisted
+    out of the loop).
+
+    ``BEER_DOT1=1`` switches to ONE stacked (B, 3S)@(3S, S) MXU dot —
+    ``[x_hi | x_hi | x_lo] @ [w_hi; w_lo; w_hi]`` — instead of three
+    separate K=S dots: same three products, one accumulator, 1.9×
+    faster per isolated step at S=32 (tools/exp_chain_occupancy.py
+    --propagate), but a measured end-to-end wash (see the DOT1 flag
+    comment), so the 3-dot form stays the default."""
     x_hi, x_lo = _split_bf16(x)
+    if DOT1:
+        x_st = jnp.concatenate([x_hi, x_hi, x_lo], axis=1)
+        w_st = jnp.concatenate([w_hi, w_lo, w_hi], axis=0)
+        return jnp.dot(x_st, w_st, preferred_element_type=jnp.float32)
     return (
         jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
         + jnp.dot(x_hi, w_lo, preferred_element_type=jnp.float32)
@@ -1577,11 +1601,19 @@ def _dot2_sel_lm(sel_t, x):
 
 
 def _dot3_lm(t_hi, t_lo, p):
-    """Aᵀ @ p in 3 bf16 MXU passes on lane-major (S, B) carries — the
-    mirror of :func:`_dot3` (same three hi/lo cross terms, with the
-    changing carry on the rhs).  ``t_hi/t_lo`` from
-    :func:`_split_bf16` of the (S, S) matrix (hoisted)."""
+    """Aᵀ @ p bf16_3x cross terms on lane-major (S, B) carries — the
+    mirror of :func:`_dot3` (with the changing carry on the rhs).
+    ``t_hi/t_lo`` from :func:`_split_bf16` of the (S, S) matrix
+    (hoisted).  ``BEER_DOT1=1``: one stacked (S, 3S)@(3S, B) dot
+    (``[t_hi | t_lo | t_hi] @ [p_hi; p_hi; p_lo]``; the loop-invariant
+    t-stack CSE's across the unrolled steps) — measured an end-to-end
+    wash (the changing carry's per-step re-stack eats the MXU saving;
+    see the DOT1 flag comment), so 3 dots stay the default."""
     p_hi, p_lo = _split_bf16(p)
+    if DOT1:
+        t_st = jnp.concatenate([t_hi, t_lo, t_hi], axis=1)
+        p_st = jnp.concatenate([p_hi, p_hi, p_lo], axis=0)
+        return jnp.dot(t_st, p_st, preferred_element_type=jnp.float32)
     return (
         jnp.dot(t_hi, p_hi, preferred_element_type=jnp.float32)
         + jnp.dot(t_lo, p_hi, preferred_element_type=jnp.float32)

@@ -959,3 +959,27 @@ def test_stored_alpha_model_trajectories_identical(rng, monkeypatch):
     off = trajectories("0")
     on = trajectories("1")
     assert on == off
+
+
+def test_dot1_stacked_matches_three_dot(rng, monkeypatch):
+    """BEER_DOT1 stacked (K=3S) propagate ≡ the default 3-dot bf16_3x
+    form in both orientations (the stacked route is non-default after
+    the end-to-end wash measurement — keep it correct for future
+    shapes)."""
+    for s, b in ((18, 64), (32, 128), (152, 256)):
+        w = jnp.asarray(rng.normal(size=(s, s)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(b, s)).astype(np.float32))
+        p = jnp.asarray(rng.normal(size=(s, b)).astype(np.float32))
+        w_hi, w_lo = pallas_scan._split_bf16(w)
+
+        monkeypatch.setattr(pallas_scan, "DOT1", False)
+        y3 = pallas_scan._dot3(x, w_hi, w_lo)
+        z3 = pallas_scan._dot3_lm(w_hi, w_lo, p)
+        monkeypatch.setattr(pallas_scan, "DOT1", True)
+        y1 = pallas_scan._dot3(x, w_hi, w_lo)
+        z1 = pallas_scan._dot3_lm(w_hi, w_lo, p)
+
+        # identical products, one accumulator: tolerance covers only
+        # the f32 summation-order difference
+        np.testing.assert_allclose(y1, y3, rtol=2e-6, atol=2e-5)
+        np.testing.assert_allclose(z1, z3, rtol=2e-6, atol=2e-5)
