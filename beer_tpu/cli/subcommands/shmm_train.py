@@ -60,6 +60,7 @@ def main(args):
         accumulate_unit_stats,
         apply_to_phoneloop,
         make_gsm_train_scan,
+        train_key,
     )
     from beer_tpu.cli.subcommands.hmm_train import pad_archive
     from beer_tpu.utils import load_model, save_model
@@ -111,7 +112,10 @@ def main(args):
             lp, x, msk, transitions=args.learn_transitions
         )
     )
-    key = jax.random.PRNGKey(1)
+    # rbg hardware RNG by default — measured faster for the subspace
+    # step's noise draw (see gsm.GSM_RNG_IMPL; BEER_GSM_RNG=threefry
+    # selects the counter-based impl)
+    key = train_key(1)
 
     def cat_stats(per_lang):
         """Concatenate per-language stats along the unit axis."""

@@ -31,6 +31,7 @@ phone-loop E-steps marginalize the subspace posterior to first order.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, Optional, Union
 
 import jax
@@ -39,6 +40,30 @@ from flax import struct
 from jax.scipy.special import digamma, polygamma
 
 LOG_2PI = math.log(2.0 * math.pi)
+
+# PRNG implementation for the subspace training loop's keys.  The
+# reparameterization noise is a large share of the H-SHMM train step
+# on a v5e (tools/profile_gsm.py at the recipe-plus shape): with the
+# historical one-call-per-block threefry draws, rng was 19.3 µs of the
+# 43.1 µs step; the single flat draw (see :meth:`GSM._sample_eps`)
+# plus the XLA RngBitGenerator hardware path brings the step to
+# 38.6 µs vs 41.3 µs threefry-flat.  MC reparameterization noise does
+# not need threefry's splitting guarantees, so ``rbg`` is the default
+# for keys made by :func:`train_key`; ``BEER_GSM_RNG=threefry``
+# selects the counter-based impl instead (library code is key-type
+# agnostic — whatever key you pass in wins).
+GSM_RNG_IMPL = os.environ.get("BEER_GSM_RNG", "rbg")
+
+# Noise-draw layout for :meth:`GSM._sample_eps`: "block" (default) or
+# "flat" — see its docstring for the measured trade.
+GSM_EPS_LAYOUT = os.environ.get("BEER_GSM_EPS", "block")
+
+
+def train_key(seed: int) -> jax.Array:
+    """PRNG key for GSM/H-SHMM subspace training (see GSM_RNG_IMPL)."""
+    if GSM_RNG_IMPL == "threefry":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl=GSM_RNG_IMPL)
 
 
 def _softplus(x):
@@ -143,17 +168,50 @@ class GSM:
         )
 
     # ------------------------------------------------------------------
-    def _sample_params(self, key, nsamples: int):
-        k_e, k_w = jax.random.split(key)
-        eps_e = jax.random.normal(
-            k_e, (nsamples,) + self.e_mean.shape, self.e_mean.dtype
-        )
-        eps_w = jax.random.normal(
-            k_w, (nsamples,) + self.w_mean.shape, self.w_mean.dtype
-        )
-        e = self.e_mean[None] + jnp.exp(0.5 * self.e_logvar)[None] * eps_e
-        w = self.w_mean[None] + jnp.exp(0.5 * self.w_logvar)[None] * eps_w
+    def _eps_spec(self, nsamples: int):
+        """Name → shape of the reparameterization noise blocks."""
+        return {"e": (nsamples,) + self.e_mean.shape,
+                "w": (nsamples,) + self.w_mean.shape}
+
+    def _sample_eps(self, key, nsamples: int):
+        """Parameter-independent reparameterization noise for one step.
+
+        Split out of :meth:`_sample_params` so callers can draw noise
+        once and reuse it (``elbo(..., eps=)``).  Two layouts, both
+        i.i.d. N(0,1) (the MC estimator needs nothing more, so the
+        block structure of the stream is an implementation detail):
+
+        * block (default) — one ``normal`` call per block under split
+          subkeys.  Measured fastest end-to-end: bench config 6 reads
+          29.1k steps/s (rbg keys) vs 26.8k with flat.
+        * flat (``BEER_GSM_EPS=flat``) — ONE call for all blocks,
+          sliced + reshaped.  The hypothesis was that per-call RNG
+          overhead dominates; measured a LOSS under both key impls —
+          the 1-D vector's slice/reshape relayouts into the block
+          shapes cost more than the saved calls (docs/PERFORMANCE.md
+          round-5 GSM section).  Kept env-gated for the record.
+        """
+        spec = self._eps_spec(nsamples)
+        dtype = self.e_mean.dtype
+        if GSM_EPS_LAYOUT == "flat":
+            sizes = {n: math.prod(s) for n, s in spec.items()}
+            flat = jax.random.normal(key, (sum(sizes.values()),), dtype)
+            out, off = {}, 0
+            for name, shape in spec.items():
+                out[name] = flat[off:off + sizes[name]].reshape(shape)
+                off += sizes[name]
+            return out
+        keys = jax.random.split(key, len(spec))
+        return {name: jax.random.normal(k, shape, dtype)
+                for k, (name, shape) in zip(keys, spec.items())}
+
+    def _params_from_eps(self, eps):
+        e = self.e_mean[None] + jnp.exp(0.5 * self.e_logvar)[None] * eps["e"]
+        w = self.w_mean[None] + jnp.exp(0.5 * self.w_logvar)[None] * eps["w"]
         return e, w
+
+    def _sample_params(self, key, nsamples: int):
+        return self._params_from_eps(self._sample_eps(key, nsamples))
 
     def unit_params(self, e: jnp.ndarray, w: jnp.ndarray) -> Dict[str, Any]:
         """Trunk + affine map + links: embeddings → per-unit parameters.
@@ -199,6 +257,7 @@ class GSM:
     def expected_llh_of_stats(
         self, unit_stats, unit_counts=None,
         key: Optional[jax.Array] = None, nsamples: int = 4,
+        eps=None,
     ) -> jnp.ndarray:
         """Monte-Carlo E_q[Σ_u ⟨s_u, T(η(e_u))⟩ − c_u A_x(η(e_u))].
 
@@ -223,7 +282,9 @@ class GSM:
             comp_counts = counts[..., None]           # (U, P, 1)
         else:
             comp_counts = st["comp_counts"]
-        params = self.unit_params(*self._sample_params(key, nsamples))
+        if eps is None:
+            eps = self._sample_eps(key, nsamples)
+        params = self.unit_params(*self._params_from_eps(eps))
         mu, lam = params["mu"], params["lam"]         # (S, U, P, K, D)
         d = self.obs_dim
         s_sq = emission[..., :d]                      # Σ −½x² per dim
@@ -263,9 +324,11 @@ class GSM:
             self.w_mean, self.w_logvar
         )
 
-    def elbo(self, unit_stats, unit_counts=None, key=None, nsamples: int = 4):
+    def elbo(self, unit_stats, unit_counts=None, key=None, nsamples: int = 4,
+             eps=None):
         return (
-            self.expected_llh_of_stats(unit_stats, unit_counts, key, nsamples)
+            self.expected_llh_of_stats(
+                unit_stats, unit_counts, key, nsamples, eps=eps)
             - self.kl_div_posterior_prior()
         )
 
@@ -353,20 +416,16 @@ class HierarchicalGSM(GSM):
             n_langs=n_langs,
         )
 
-    def _sample_params(self, key, nsamples: int):
-        k_e, k_w, k_l = jax.random.split(key, 3)
-        eps_e = jax.random.normal(
-            k_e, (nsamples,) + self.e_mean.shape, self.e_mean.dtype
-        )
-        eps_w = jax.random.normal(
-            k_w, (nsamples,) + self.w_mean.shape, self.w_mean.dtype
-        )
-        eps_l = jax.random.normal(
-            k_l, (nsamples,) + self.lang_mean.shape, self.lang_mean.dtype
-        )
-        e = self.e_mean[None] + jnp.exp(0.5 * self.e_logvar)[None] * eps_e
-        w = self.w_mean[None] + jnp.exp(0.5 * self.w_logvar)[None] * eps_w
-        lang = self.lang_mean[None] + jnp.exp(0.5 * self.lang_logvar)[None] * eps_l
+    def _eps_spec(self, nsamples: int):
+        spec = super()._eps_spec(nsamples)
+        spec["l"] = (nsamples,) + self.lang_mean.shape
+        return spec
+
+    def _params_from_eps(self, eps):
+        e = self.e_mean[None] + jnp.exp(0.5 * self.e_logvar)[None] * eps["e"]
+        w = self.w_mean[None] + jnp.exp(0.5 * self.w_logvar)[None] * eps["w"]
+        lang = (self.lang_mean[None]
+                + jnp.exp(0.5 * self.lang_logvar)[None] * eps["l"])
         # each unit gets its own language's embedding
         idx = jnp.asarray(self.unit_lang, jnp.int32)
         lang_per_unit = lang[:, idx, :]              # (S, U, lang_dim)
@@ -422,6 +481,13 @@ def make_gsm_train_scan(tx, nsamples: int = 4):
     import optax
 
     def run(gsm, opt_state, unit_stats, unit_counts, key, nsteps: int):
+        # The reparameterization noise is sampled IN the loop body on
+        # purpose: presampling all steps' ε outside the scan (the
+        # ``elbo(..., eps=)`` hook makes it a two-line change) measures
+        # SLOWER on the v5e — 47.0 vs 39.3 µs/step
+        # (tools/profile_gsm.py full_eps vs full) — because the scan
+        # then streams ~39 MB of noise from HBM where inline threefry
+        # is pure in-register VPU work that overlaps the contractions.
         def step(carry, k):
             g, opt = carry
 

@@ -703,7 +703,8 @@ def bench_gsm(outer=4, inner=2400):
     import jax.numpy as jnp
     import optax
 
-    from beer_tpu.models.gsm import HierarchicalGSM, make_gsm_train_scan
+    from beer_tpu.models.gsm import (
+        HierarchicalGSM, make_gsm_train_scan, train_key)
 
     u = GSM_UPL * GSM_NLANG
     unit_lang = sum(([i] * GSM_UPL for i in range(GSM_NLANG)), [])
@@ -723,7 +724,7 @@ def bench_gsm(outer=4, inner=2400):
     tx = optax.adam(5e-2)
     opt = tx.init(gsm)
     run = make_gsm_train_scan(tx, nsamples=GSM_NSAMPLES)
-    key = jax.random.PRNGKey(11)
+    key = train_key(11)  # rbg: hw RngBitGenerator, see gsm.GSM_RNG_IMPL
     lo = max(inner // 4, 1)
 
     def timed(n):

@@ -13,6 +13,13 @@ Components (nested, so differences give stage costs):
            (the full ELBO, no grad)
 * grad   — value_and_grad of the ELBO
 * full   — grad + Adam update (the real train-scan step)
+* full_eps — full with the reparameterization noise PRESAMPLED outside
+           the scan.  Measured SLOWER than full on the v5e (47.0 vs
+           39.3 µs/step): the slope method still pays the same
+           threefry work (vmapped upfront, linear in nsteps) plus the
+           HBM stream of the noise, so make_gsm_train_scan keeps
+           in-loop sampling; the cheap lever is the rbg key impl
+           (gsm.train_key), not moving the draw.
 
 VERDICT r4 ask #6: find WHERE the 42 µs step goes before building
 anything (0.136% MFU says the matmuls are not the story — they are
@@ -80,18 +87,52 @@ def chain(body, inner, gsm, opt_state):
     return run
 
 
+def chain_eps(body, inner, gsm, opt_state):
+    """jit a scan of body(carry, eps) over presampled noise (the
+    round-5 train-scan structure)."""
+
+    @jax.jit
+    def run(gsm, opt_state, stats, key):
+        keys = jax.random.split(key, inner)
+        eps_all = jax.vmap(lambda k: gsm._sample_eps(k, NSAMPLES))(keys)
+        carry, out = jax.lax.scan(
+            lambda c, e: body(c, e, stats), (gsm, opt_state), eps_all
+        )
+        return out[-1]
+
+    return run
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--inner", type=int, nargs=2, default=[100, 1100])
     ap.add_argument("--outer", type=int, default=3)
     ap.add_argument("--components", default="rng,fwd,grad,full")
+    ap.add_argument("--nsamples", type=int, default=4)
     args = ap.parse_args()
     n1, n2 = args.inner
     wanted = args.components.split(",")
+    global NSAMPLES
+    NSAMPLES = args.nsamples
 
     gsm, stats = make_model_and_stats()
     tx = optax.adam(5e-2)
     opt0 = tx.init(gsm)
+
+    def body_nop(carry, k, stats):
+        # harness floor: scan step + the upfront key split's per-step
+        # share, no draw — isolates what the slope method charges every
+        # component regardless of body
+        g, opt = carry
+        kd = (jax.random.key_data(k)
+              if jnp.issubdtype(k.dtype, jax.dtypes.prng_key) else k)
+        return carry, kd.astype(jnp.float32).sum()
+
+    def body_draw(carry, k, stats):
+        # the flat normal draw alone, no reparameterization
+        g, opt = carry
+        eps = g._sample_eps(k, NSAMPLES)
+        return carry, sum(e.sum() for e in eps.values())
 
     def body_rng(carry, k, stats):
         g, opt = carry
@@ -120,13 +161,42 @@ def main():
         g = _o.apply_updates(g, updates)
         return (g, opt), -loss
 
-    bodies = {"rng": body_rng, "fwd": body_fwd, "grad": body_grad,
-              "full": body_full}
-    key = jax.random.PRNGKey(11)
+    def body_fwd_eps(carry, eps, stats):
+        g, opt = carry
+        return carry, g.elbo(stats, None, None, NSAMPLES, eps=eps)
+
+    def body_grad_eps(carry, eps, stats):
+        g, opt = carry
+        loss, grads = jax.value_and_grad(
+            lambda g_: -g_.elbo(stats, None, None, NSAMPLES, eps=eps)
+        )(g)
+        return carry, loss + sum(jnp.sum(l) for l in jax.tree.leaves(grads))
+
+    def body_full_eps(carry, eps, stats):
+        g, opt = carry
+        loss, grads = jax.value_and_grad(
+            lambda g_: -g_.elbo(stats, None, None, NSAMPLES, eps=eps)
+        )(g)
+        updates, opt = tx.update(grads, opt, g)
+        import optax as _o
+
+        g = _o.apply_updates(g, updates)
+        return (g, opt), -loss
+
+    bodies = {"nop": body_nop, "draw": body_draw,
+              "rng": body_rng, "fwd": body_fwd, "grad": body_grad,
+              "full": body_full, "fwd_eps": body_fwd_eps,
+              "grad_eps": body_grad_eps, "full_eps": body_full_eps}
+    # the key impl the components run under IS what's being profiled:
+    # train_key honors BEER_GSM_RNG (rbg default / threefry)
+    from beer_tpu.models.gsm import train_key
+
+    key = train_key(11)
     out = {}
     for name in wanted:
-        f1 = chain(bodies[name], n1, gsm, opt0)
-        f2 = chain(bodies[name], n2, gsm, opt0)
+        mk = chain_eps if name.endswith("_eps") else chain
+        f1 = mk(bodies[name], n1, gsm, opt0)
+        f2 = mk(bodies[name], n2, gsm, opt0)
         float(f1(gsm, opt0, stats, key))  # compile
         float(f2(gsm, opt0, stats, key))
 
