@@ -116,7 +116,13 @@ class PLDA(Model):
         e_lam, e_loglam = self._e_lam()
         xc = x - self.mean
         counts = jax.ops.segment_sum(jnp.ones(n, x.dtype), labels, n_classes)
-        # per-class posterior: prec_h = I + n_i * E[F' Λ F]
+        # per-class posterior: prec_h = I + n_i * E[F' Λ F].
+        # (A shared-eigenbasis form — one eigh of E[FᵀΛF] diagonalizing
+        # every class at once — is mathematically cleaner, but
+        # jnp.linalg.eigh inside the training scan stalls XLA
+        # compilation >10 min on the axon TPU backend, so the batched
+        # LU forms stay.  The eigh algebra is still pinned by
+        # tests/test_ppca_plda.py::TestPLDAEighForm's oracle.)
         e_ftlf = self._e_ftlf()
         prec_h = jnp.eye(q, dtype=x.dtype)[None] + counts[:, None, None] * e_ftlf[None]
         cov_h = jnp.linalg.inv(prec_h)                      # (C, Q, Q)
@@ -124,13 +130,16 @@ class PLDA(Model):
         sum_proj = jax.ops.segment_sum(proj, labels, n_classes)
         m_h = jnp.einsum("cij,cj->ci", cov_h, sum_proj)     # (C, Q)
 
-        e_hh = cov_h + m_h[:, :, None] * m_h[:, None, :]
-        m_per = m_h[labels]
-        e_hh_per = e_hh[labels]
+        e_hh = cov_h + m_h[:, :, None] * m_h[:, None, :]    # (C, Q, Q)
+        # tr(E[FᵀΛF] E[hhᵀ]) is constant within a class, so the
+        # quadratic resid term is a (C,) einsum + lookup — the naive
+        # (N, Q, Q) e_hh[labels] gather (N·Q² floats of pure HBM
+        # traffic at bench shape) never exists.
+        quad = jnp.einsum("ij,cij->c", e_ftlf, e_hh)        # (C,)
         resid = (
             (e_lam * xc**2).sum(-1)
-            - 2.0 * (proj * m_per).sum(-1)
-            + jnp.einsum("ij,nij->n", e_ftlf, e_hh_per)
+            - 2.0 * (proj * m_h[labels]).sum(-1)
+            + quad[labels]
         )
         e_logpx = 0.5 * (e_loglam.sum() - d * LOG_2PI) - 0.5 * resid
         # per-class prior + entropy terms, spread over the class's frames
@@ -141,8 +150,8 @@ class PLDA(Model):
         )
         llh = e_logpx + (per_class / jnp.maximum(counts, 1.0))[labels]
         cache = {
-            "m_h": m_h, "cov_h": cov_h, "e_hh": e_hh, "xc": xc,
-            "labels": labels, "counts": counts, "proj": proj,
+            "m_h": m_h, "xc": xc, "labels": labels, "counts": counts,
+            "proj": proj, "e_hh": e_hh,
         }
         return llh, cache
 
@@ -150,15 +159,14 @@ class PLDA(Model):
     def accumulate(self, stats: jnp.ndarray, cache: Dict[str, Any]) -> Dict[str, Any]:
         xc, labels = cache["xc"], cache["labels"]
         m_per = cache["m_h"][labels]
+        s_h = jnp.einsum("c,cij->ij", cache["counts"], cache["e_hh"])
         return {
             "n": jnp.asarray(float(xc.shape[0]), xc.dtype),
             "sum_x": stats.sum(0),
             "sum_m": m_per.sum(0),
             "sum_sq": (xc**2).sum(0),                     # (D,)
             "c": xc.T @ m_per,                             # (D, Q)
-            "s_h": jnp.einsum(
-                "c,cij->ij", cache["counts"], cache["e_hh"]
-            ),                                             # (Q, Q)
+            "s_h": s_h,                                    # (Q, Q)
         }
 
     def kl_div_posterior_prior(self) -> jnp.ndarray:
@@ -182,9 +190,11 @@ class PLDA(Model):
         sel = set(group) if group is not None else {"f_mean", "f_cov", "mean", "prec"}
         d, q = self.obs_dim, self.latent_dim
         e_lam, _ = self._e_lam()
-        eye = jnp.eye(q, dtype=acc["c"].dtype)
-        # -- F rows (per-dim cov; batched (D, Q, Q) inverse) --
+        # -- F rows (per-dim cov; batched (D, Q, Q) inverse — see the
+        # eigh note in infer for why the shared-eigenbasis form is not
+        # used despite being one factorization) --
         if "f_mean" in sel:
+            eye = jnp.eye(q, dtype=acc["c"].dtype)
             f_cov = jnp.linalg.inv(eye[None] + e_lam[:, None, None] * acc["s_h"][None])
             f_mean = jnp.einsum(
                 "d,dq,dqr->dr", e_lam, acc["c"], f_cov

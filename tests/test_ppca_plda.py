@@ -173,3 +173,73 @@ class TestMeanFieldGroups:
                 elbos.append(float(elbo) / len(data))
         diffs = np.diff(elbos)
         assert np.all(diffs > -1e-8), f"ELBO decreased: min {diffs.min()}"
+
+
+class TestPLDAEighForm:
+    """infer's per-class quadratic-term restructure (a (C,) einsum +
+    lookup instead of the naive (N, Q, Q) e_hh[labels] gather) and the
+    accumulate/vb_update algebra must reproduce the fully naive
+    construction exactly (f64 oracle).  Also pins the shared-eigenbasis
+    identities should the eigh form ever be re-enabled (it compiles
+    pathologically on the axon TPU backend)."""
+
+    def test_infer_accumulate_update_match_naive(self, rng):
+        d, q, n_classes, per = 8, 3, 6, 9
+        f = rng.normal(size=(d, q))
+        xs, ys = [], []
+        for c in range(n_classes):
+            h = rng.normal(size=q)
+            xs.append(h @ f.T + 0.3 * rng.normal(size=(per, d)))
+            ys.append(np.full(per, c))
+        x = jnp.asarray(np.concatenate(xs))
+        y = jnp.asarray(np.concatenate(ys).astype(np.int32))
+        model = PLDA.create(d, q, mean=np.zeros(d), key=jax.random.PRNGKey(3),
+                            dtype=jnp.float64)
+        # one warm VB step so posteriors are non-trivial
+        stats = model.sufficient_statistics(x)
+        llh, cache = model.infer(stats, labels=y, n_classes=n_classes)
+        model = model.vb_update(model.accumulate(stats, cache))
+
+        llh, cache = model.infer(stats, labels=y, n_classes=n_classes)
+        acc = model.accumulate(stats, cache)
+        up = model.vb_update(acc)
+
+        # -- naive oracle: batched inverses and slogdets ---------------
+        e_lam, e_loglam = model._e_lam()
+        e_ftlf = model._e_ftlf()
+        xc = x - model.mean
+        counts = jax.ops.segment_sum(jnp.ones(len(x), x.dtype), y, n_classes)
+        prec_h = (jnp.eye(q, dtype=x.dtype)[None]
+                  + counts[:, None, None] * e_ftlf[None])
+        cov_h = jnp.linalg.inv(prec_h)
+        proj = xc @ (e_lam[:, None] * model.f_mean)
+        sum_proj = jax.ops.segment_sum(proj, y, n_classes)
+        m_h = jnp.einsum("cij,cj->ci", cov_h, sum_proj)
+        e_hh = cov_h + m_h[:, :, None] * m_h[:, None, :]
+        resid = ((e_lam * xc**2).sum(-1)
+                 - 2.0 * (proj * m_h[y]).sum(-1)
+                 + jnp.einsum("ij,nij->n", e_ftlf, e_hh[y]))
+        e_logpx = 0.5 * (e_loglam.sum() - d * np.log(2 * np.pi)) - 0.5 * resid
+        logdet_cov = jnp.linalg.slogdet(cov_h)[1]
+        per_class = (-0.5 * (jnp.einsum("cii->c", e_hh) + q * np.log(2 * np.pi))
+                     + 0.5 * (q * (1.0 + np.log(2 * np.pi)) + logdet_cov))
+        llh_naive = e_logpx + (per_class / jnp.maximum(counts, 1.0))[y]
+        s_h_naive = jnp.einsum("c,cij->ij", counts, e_hh)
+        f_cov_naive = jnp.linalg.inv(
+            jnp.eye(q, dtype=x.dtype)[None]
+            + e_lam[:, None, None] * s_h_naive[None])
+        f_mean_naive = jnp.einsum("d,dq,dqr->dr", e_lam, acc["c"], f_cov_naive)
+
+        np.testing.assert_allclose(np.asarray(llh), np.asarray(llh_naive),
+                                   rtol=1e-10, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(cache["m_h"]), np.asarray(m_h),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(acc["s_h"]),
+                                   np.asarray(s_h_naive),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(up.f_cov),
+                                   np.asarray(f_cov_naive),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(up.f_mean),
+                                   np.asarray(f_mean_naive),
+                                   rtol=1e-9, atol=1e-10)
